@@ -1,0 +1,107 @@
+"""DDPM noise schedule: q-sample, velocity target, and DDIM stepping constants.
+
+TPU-native replacement for the diffusers DDIMScheduler the reference trains
+with (``/root/reference/modules/model.py:289-316``): ``add_noise`` is the
+forward diffusion q-sample, ``velocity`` is the v-prediction target. All
+constants are precomputed host-side once and closed over by the jitted step,
+so inside XLA the schedule is a pair of static gather tables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class NoiseSchedule:
+    """Continuous-constant view of a DDPM beta schedule.
+
+    Defaults are Stable Diffusion v1's scaled-linear schedule
+    (beta in [0.00085, 0.012] over 1000 steps).
+    """
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    prediction_type: str = "epsilon"  # 'epsilon' | 'sample' | 'v'
+    # DDIM sampling semantics (diffusers SD1 scheduler config)
+    steps_offset: int = 1
+    clip_sample: bool = False
+    set_alpha_to_one: bool = False
+
+    @property
+    def betas(self) -> np.ndarray:
+        n = self.num_train_timesteps
+        if self.beta_schedule == "scaled_linear":
+            return np.linspace(self.beta_start ** 0.5, self.beta_end ** 0.5, n, dtype=np.float64) ** 2
+        if self.beta_schedule == "linear":
+            return np.linspace(self.beta_start, self.beta_end, n, dtype=np.float64)
+        raise ValueError(self.beta_schedule)
+
+    @property
+    def alphas_cumprod(self) -> np.ndarray:
+        return np.cumprod(1.0 - self.betas).astype(np.float32)
+
+    # -- arrays used inside jit ------------------------------------------------
+
+    def sqrt_alphas_cumprod(self) -> jnp.ndarray:
+        return jnp.asarray(np.sqrt(self.alphas_cumprod))
+
+    def sqrt_one_minus_alphas_cumprod(self) -> jnp.ndarray:
+        return jnp.asarray(np.sqrt(1.0 - self.alphas_cumprod))
+
+    def _gather(self, table: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+        v = table[t]
+        return v.reshape(v.shape + (1,) * (ndim - v.ndim))
+
+    def add_noise(self, x0: jnp.ndarray, noise: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        """q(x_t | x_0): sqrt(acp_t) * x0 + sqrt(1 - acp_t) * noise."""
+        sa = self._gather(self.sqrt_alphas_cumprod().astype(x0.dtype), t, x0.ndim)
+        sb = self._gather(self.sqrt_one_minus_alphas_cumprod().astype(x0.dtype), t, x0.ndim)
+        return sa * x0 + sb * noise
+
+    def velocity(self, x0: jnp.ndarray, noise: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        """v-prediction target: sqrt(acp_t) * eps - sqrt(1 - acp_t) * x0."""
+        sa = self._gather(self.sqrt_alphas_cumprod().astype(x0.dtype), t, x0.ndim)
+        sb = self._gather(self.sqrt_one_minus_alphas_cumprod().astype(x0.dtype), t, x0.ndim)
+        return sa * noise - sb * x0
+
+    def training_target(self, x0: jnp.ndarray, noise: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        if self.prediction_type == "epsilon":
+            return noise
+        if self.prediction_type == "sample":
+            return x0
+        if self.prediction_type == "v":
+            return self.velocity(x0, noise, t)
+        raise ValueError(f"Unknown prediction type {self.prediction_type}")
+
+    @classmethod
+    def from_ldm_config(cls, ldm_config, **overrides) -> "NoiseSchedule":
+        params = ldm_config.model.params
+        return cls(
+            num_train_timesteps=int(params.get("timesteps", 1000)),
+            beta_start=float(params.get("linear_start", 0.00085)),
+            beta_end=float(params.get("linear_end", 0.012)),
+            **overrides,
+        )
+
+    @classmethod
+    def from_diffusers_scheduler_config(cls, config: dict) -> "NoiseSchedule":
+        return cls(
+            num_train_timesteps=int(config.get("num_train_timesteps", 1000)),
+            beta_start=float(config.get("beta_start", 0.00085)),
+            beta_end=float(config.get("beta_end", 0.012)),
+            beta_schedule=config.get("beta_schedule", "scaled_linear"),
+            prediction_type=config.get("prediction_type", "epsilon"),
+            steps_offset=int(config.get("steps_offset", 1)),
+            clip_sample=bool(config.get("clip_sample", False)),
+            set_alpha_to_one=bool(config.get("set_alpha_to_one", False)),
+        )
+
+
+VAE_SCALE_FACTOR = 0.18215

@@ -1,0 +1,114 @@
+"""CLIP text encoder (ViT-L/14 text tower) as pure JAX functions.
+
+TPU-native equivalent of ``transformers.CLIPTextModel`` as used by the
+reference's ``CLIPTextEncoder`` (``/root/reference/modules/text_encoders.py:74-123``).
+
+CLIP-skip semantics: the reference removes the last ``stop_at_layer - 1``
+transformer layers at construction time and still applies the final layer
+norm (text_encoders.py:80-82). Here the same effect is a call-time
+``stop_at_layer`` argument — the penultimate-layer hidden state is what SD1.x
+fine-tunes commonly condition on (``clip_stop_at_layer: 2``).
+
+Parameter keys match the transformers state-dict names under ``text_model.``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import multi_head_attention
+from .functional import Params, layer_norm, linear, quick_gelu
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    max_position_embeddings: int = 77
+
+    @classmethod
+    def vit_l(cls) -> "CLIPTextConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "CLIPTextConfig":
+        return cls(vocab_size=1000, hidden_size=32, intermediate_size=64,
+                   num_hidden_layers=2, num_attention_heads=2, max_position_embeddings=77)
+
+
+def clip_text_apply(params: Params, input_ids: jnp.ndarray, config: CLIPTextConfig,
+                    stop_at_layer: int = 1) -> jnp.ndarray:
+    """input_ids: (B, L) int32 -> last hidden state (B, L, hidden).
+
+    ``stop_at_layer=k`` drops the last ``k - 1`` transformer layers before the
+    final layer norm (CLIP-skip).
+    """
+    p = params
+    tok = p["text_model.embeddings.token_embedding.weight"]
+    pos = p["text_model.embeddings.position_embedding.weight"]
+    length = input_ids.shape[1]
+    x = tok[input_ids] + pos[:length]
+
+    num_layers = config.num_hidden_layers - (stop_at_layer - 1)
+    heads = config.num_attention_heads
+    head_dim = config.hidden_size // heads
+
+    for i in range(num_layers):
+        pre = f"text_model.encoder.layers.{i}"
+        n = layer_norm(p, f"{pre}.layer_norm1", x)
+        q = linear(p, f"{pre}.self_attn.q_proj", n)
+        k = linear(p, f"{pre}.self_attn.k_proj", n)
+        v = linear(p, f"{pre}.self_attn.v_proj", n)
+        attn = multi_head_attention(q, k, v, heads, float(head_dim) ** -0.5, causal=True)
+        x = x + linear(p, f"{pre}.self_attn.out_proj", attn)
+        n = layer_norm(p, f"{pre}.layer_norm2", x)
+        h = quick_gelu(linear(p, f"{pre}.mlp.fc1", n))
+        x = x + linear(p, f"{pre}.mlp.fc2", h)
+
+    return layer_norm(p, "text_model.final_layer_norm", x)
+
+
+def clip_param_shapes(config: CLIPTextConfig) -> dict[str, tuple[int, ...]]:
+    d, m = config.hidden_size, config.intermediate_size
+    s: dict[str, tuple[int, ...]] = {
+        "text_model.embeddings.token_embedding.weight": (config.vocab_size, d),
+        "text_model.embeddings.position_embedding.weight": (config.max_position_embeddings, d),
+        "text_model.final_layer_norm.weight": (d,),
+        "text_model.final_layer_norm.bias": (d,),
+    }
+    for i in range(config.num_hidden_layers):
+        pre = f"text_model.encoder.layers.{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            s[f"{pre}.{ln}.weight"] = (d,)
+            s[f"{pre}.{ln}.bias"] = (d,)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            s[f"{pre}.self_attn.{proj}.weight"] = (d, d)
+            s[f"{pre}.self_attn.{proj}.bias"] = (d,)
+        s[f"{pre}.mlp.fc1.weight"] = (m, d)
+        s[f"{pre}.mlp.fc1.bias"] = (m,)
+        s[f"{pre}.mlp.fc2.weight"] = (d, m)
+        s[f"{pre}.mlp.fc2.bias"] = (d,)
+    return s
+
+
+def init_clip_params(rng: jax.Array, config: CLIPTextConfig, dtype=jnp.float32) -> Params:
+    shapes = clip_param_shapes(config)
+    params: Params = {}
+    keys = jax.random.split(rng, len(shapes))
+    for key, (name, shape) in zip(keys, sorted(shapes.items())):
+        if name.endswith(".bias"):
+            params[name] = jnp.zeros(shape, dtype)
+        elif len(shape) == 1:
+            params[name] = jnp.ones(shape, dtype)
+        else:
+            fan_in = shape[-1]
+            params[name] = jax.random.normal(key, shape, dtype) * (1.0 / math.sqrt(fan_in))
+    return params

@@ -1,0 +1,85 @@
+"""Fused multi-head attention for UNet/CLIP/VAE blocks.
+
+The TPU-native stand-in for the reference's xformers memory-efficient
+attention (``/root/reference/modules/model.py:187-188``). Two code paths:
+
+* ``_attention_xla``: straight jnp einsum chain — XLA already fuses the
+  softmax into the matmuls well for the short sequences in CLIP (77) and
+  low-res UNet levels; also the CPU-test fallback.
+* ``_attention_pallas``: a flash-attention Pallas kernel used on TPU for the
+  long self-attention sequences of the high-res UNet levels (up to 4096+
+  tokens at 512px, more under aspect-ratio buckets), where materialising the
+  (L, L) score matrix would burn HBM bandwidth.
+
+Dispatch is automatic by platform/shape; set ``FORCE_XLA = True`` to disable
+the kernel globally (config key ``xformers: false``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Toggled by config `xformers: false`.
+FORCE_XLA = False
+
+# Pallas kernel pays off once Lq is long enough that the score matrix
+# dominates; below this XLA's fusion wins on compile simplicity.
+_PALLAS_MIN_Q_LEN = 1024
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, l, c = x.shape
+    return x.reshape(b, l, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+def _attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+                   mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    # q,k,v: (B, H, L, D)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "causal"))
+def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         num_heads: int, scale: float | None = None,
+                         causal: bool = False) -> jnp.ndarray:
+    """q: (B, Lq, C); k, v: (B, Lk, C). Returns (B, Lq, C)."""
+    head_dim = q.shape[-1] // num_heads
+    if scale is None:
+        scale = float(head_dim) ** -0.5
+
+    qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
+
+    mask = None
+    if causal:
+        lq, lk = qh.shape[2], kh.shape[2]
+        mask = jnp.where(
+            np.tril(np.ones((lq, lk), dtype=bool)), 0.0, -jnp.inf
+        ).astype(jnp.float32)[None, None]
+
+    use_pallas = (
+        not FORCE_XLA
+        and not causal
+        and qh.shape[2] >= _PALLAS_MIN_Q_LEN
+        and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from .flash_attention import flash_attention
+
+        out = flash_attention(qh, kh, vh, scale)
+    else:
+        out = _attention_xla(qh, kh, vh, scale, mask)
+
+    return _merge_heads(out).astype(q.dtype)
