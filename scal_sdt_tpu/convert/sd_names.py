@@ -1,0 +1,234 @@
+"""Bidirectional tensor-name mapping between CompVis-LDM and diffusers layouts.
+
+Replaces the reference's pair of hand-maintained converters
+(``/root/reference/modules/convert/diffusers_to_sd.py`` and
+``sd_to_diffusers.py``) with ONE architecture-driven bijection: for SD1.x
+models the two layouts differ only by a deterministic renaming (plus a 2D<->4D
+reshape on the VAE mid-attention projections), so both directions derive from
+a single name map generated from the model configs. Unlike the reference's
+hardcoded 4-block/2-layer loops, the map generalises over
+``UNetConfig``/``VAEConfig``.
+
+LDM checkpoints prefix these names with ``model.diffusion_model.`` (UNet),
+``first_stage_model.`` (VAE) and ``cond_stage_model.transformer.`` (CLIP);
+prefix handling lives in the callers (ckpt tools / loader).
+
+Output byte-compatibility: ``ckpt_tool prune`` uses exactly this map, so the
+emitted LDM checkpoints carry the same key set as the reference's (verified
+by tests against the known SD1.5 key inventory).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+
+from ..models.unet import UNetConfig
+from ..models.vae import VAEConfig
+
+_RESNET_RENAMES = [
+    ("norm1", "in_layers.0"),
+    ("conv1", "in_layers.2"),
+    ("norm2", "out_layers.0"),
+    ("conv2", "out_layers.3"),
+    ("time_emb_proj", "emb_layers.1"),
+    ("conv_shortcut", "skip_connection"),
+]
+
+# VAE attention leaf names: ours (modern diffusers) -> LDM
+_VAE_ATTN_RENAMES = [
+    ("group_norm", "norm"),
+    ("to_q", "q"),
+    ("to_k", "k"),
+    ("to_v", "v"),
+    ("to_out.0", "proj_out"),
+]
+
+
+def unet_prefix_map(config: UNetConfig) -> list[tuple[str, str]]:
+    """(diffusers_prefix, ldm_prefix) pairs; longest-match rename."""
+    pairs = [
+        ("time_embedding.linear_1.", "time_embed.0."),
+        ("time_embedding.linear_2.", "time_embed.2."),
+        ("conv_in.", "input_blocks.0.0."),
+        ("conv_norm_out.", "out.0."),
+        ("conv_out.", "out.2."),
+    ]
+    n_blocks = len(config.block_out_channels)
+    lpb = config.layers_per_block
+
+    ldm_idx = 1
+    for i, btype in enumerate(config.down_block_types):
+        has_attn = btype == "CrossAttnDownBlock2D"
+        for j in range(lpb):
+            pairs.append((f"down_blocks.{i}.resnets.{j}.", f"input_blocks.{ldm_idx}.0."))
+            if has_attn:
+                pairs.append((f"down_blocks.{i}.attentions.{j}.", f"input_blocks.{ldm_idx}.1."))
+            ldm_idx += 1
+        if i != n_blocks - 1:
+            pairs.append((f"down_blocks.{i}.downsamplers.0.conv.", f"input_blocks.{ldm_idx}.0.op."))
+            ldm_idx += 1
+
+    pairs.append(("mid_block.resnets.0.", "middle_block.0."))
+    pairs.append(("mid_block.attentions.0.", "middle_block.1."))
+    pairs.append(("mid_block.resnets.1.", "middle_block.2."))
+
+    ldm_idx = 0
+    for i, btype in enumerate(config.up_block_types):
+        has_attn = btype == "CrossAttnUpBlock2D"
+        for j in range(lpb + 1):
+            pairs.append((f"up_blocks.{i}.resnets.{j}.", f"output_blocks.{ldm_idx}.0."))
+            if has_attn:
+                pairs.append((f"up_blocks.{i}.attentions.{j}.", f"output_blocks.{ldm_idx}.1."))
+            if j == lpb and i != n_blocks - 1:
+                # upsampler shares the last output block; its sub-index depends
+                # on whether an attention module precedes it.
+                sub = 2 if has_attn else 1
+                pairs.append((f"up_blocks.{i}.upsamplers.0.", f"output_blocks.{ldm_idx}.{sub}."))
+            ldm_idx += 1
+    return pairs
+
+
+def vae_prefix_map(config: VAEConfig) -> list[tuple[str, str]]:
+    pairs = [
+        ("encoder.conv_in.", "encoder.conv_in."),
+        ("encoder.conv_norm_out.", "encoder.norm_out."),
+        ("encoder.conv_out.", "encoder.conv_out."),
+        ("decoder.conv_in.", "decoder.conv_in."),
+        ("decoder.conv_norm_out.", "decoder.norm_out."),
+        ("decoder.conv_out.", "decoder.conv_out."),
+        ("quant_conv.", "quant_conv."),
+        ("post_quant_conv.", "post_quant_conv."),
+    ]
+    n = len(config.block_out_channels)
+    for i in range(n):
+        for j in range(config.layers_per_block):
+            pairs.append((f"encoder.down_blocks.{i}.resnets.{j}.", f"encoder.down.{i}.block.{j}."))
+        if i != n - 1:
+            pairs.append((f"encoder.down_blocks.{i}.downsamplers.0.", f"encoder.down.{i}.downsample."))
+        for j in range(config.layers_per_block + 1):
+            pairs.append((f"decoder.up_blocks.{i}.resnets.{j}.", f"decoder.up.{n - 1 - i}.block.{j}."))
+        if i != n - 1:
+            pairs.append((f"decoder.up_blocks.{i}.upsamplers.0.", f"decoder.up.{n - 1 - i}.upsample."))
+    for enc_dec in ("encoder", "decoder"):
+        pairs.append((f"{enc_dec}.mid_block.resnets.0.", f"{enc_dec}.mid.block_1."))
+        pairs.append((f"{enc_dec}.mid_block.resnets.1.", f"{enc_dec}.mid.block_2."))
+        pairs.append((f"{enc_dec}.mid_block.attentions.0.", f"{enc_dec}.mid.attn_1."))
+    return pairs
+
+
+def _apply_renames(name: str, renames: list[tuple[str, str]], reverse: bool = False) -> str:
+    for a, b in renames:
+        src, dst = (b, a) if reverse else (a, b)
+        name = name.replace(src, dst)
+    return name
+
+
+def _build_name_map(prefix_pairs: list[tuple[str, str]], df_names: Iterable[str],
+                    unet_resnets: bool) -> dict[str, str]:
+    """df name -> ldm name for every given diffusers-layout key.
+
+    Internal renames are gated on the *original* diffusers path so e.g. a
+    transformer block's 'norm1' is never rewritten (it only renames inside
+    '.resnets.' / VAE '.attentions.' modules).
+    """
+    out = {}
+    for name in df_names:
+        new = name
+        for df_p, ldm_p in prefix_pairs:
+            if new.startswith(df_p):
+                new = ldm_p + new[len(df_p):]
+                break
+        if ".resnets." in name:
+            if unet_resnets:
+                new = _apply_renames(new, _RESNET_RENAMES)
+            else:
+                new = new.replace("conv_shortcut", "nin_shortcut")
+        if not unet_resnets and ".attentions." in name:
+            new = _apply_renames(new, _VAE_ATTN_RENAMES)
+        out[name] = new
+    return out
+
+
+def unet_name_map(config: UNetConfig, df_names: Iterable[str]) -> dict[str, str]:
+    return _build_name_map(unet_prefix_map(config), df_names, unet_resnets=True)
+
+
+def vae_name_map(config: VAEConfig, df_names: Iterable[str]) -> dict[str, str]:
+    return _build_name_map(vae_prefix_map(config), df_names, unet_resnets=False)
+
+
+def _maybe_names(state_or_names) -> list[str]:
+    return list(state_or_names.keys()) if hasattr(state_or_names, "keys") else list(state_or_names)
+
+
+def convert_unet_state_df_to_ldm(state: dict, config: UNetConfig = UNetConfig.sd15()) -> dict:
+    """Diffusers-layout UNet state -> LDM names (reference
+    diffusers_to_sd.convert_unet_state_dict)."""
+    name_map = unet_name_map(config, state.keys())
+    return {name_map[k]: v for k, v in state.items()}
+
+
+def convert_unet_state_ldm_to_df(state: dict, config: UNetConfig = UNetConfig.sd15()) -> dict:
+    """LDM-layout UNet state (already stripped of 'model.diffusion_model.')
+    -> diffusers names."""
+    from ..models.unet import unet_param_shapes
+
+    df_names = unet_param_shapes(config).keys()
+    name_map = unet_name_map(config, df_names)
+    inverse = {v: k for k, v in name_map.items()}
+    out = {}
+    for k, v in state.items():
+        if k in inverse:
+            out[inverse[k]] = v
+    return out
+
+
+def convert_vae_state_df_to_ldm(state: dict, config: VAEConfig = VAEConfig.sd15()) -> dict:
+    """Diffusers-layout VAE -> LDM names + the 2D->4D reshape of the
+    mid-attention projections (LDM stores them as 1x1 convs)."""
+    name_map = vae_name_map(config, state.keys())
+    out = {}
+    for k, v in state.items():
+        new = name_map[k]
+        if "attn_1" in new and new.endswith(".weight") and np.asarray(v).ndim == 2:
+            v = np.asarray(v).reshape(*v.shape, 1, 1)
+        out[new] = v
+    return out
+
+
+def convert_vae_state_ldm_to_df(state: dict, config: VAEConfig = VAEConfig.sd15()) -> dict:
+    from ..models.vae import vae_param_shapes
+
+    df_names = vae_param_shapes(config).keys()
+    name_map = vae_name_map(config, df_names)
+    inverse = {v: k for k, v in name_map.items()}
+    out = {}
+    for k, v in state.items():
+        if k not in inverse:
+            continue
+        new = inverse[k]
+        if "attentions" in new and new.endswith(".weight") and np.asarray(v).ndim == 4:
+            v = np.asarray(v).reshape(v.shape[0], v.shape[1])
+        out[new] = v
+    return out
+
+
+def normalize_df_vae_attention(state: dict) -> dict:
+    """Normalize legacy diffusers VAE attention names (query/key/value/
+    proj_attn) to the modern to_q/to_k/to_v/to_out.0 used internally."""
+    renames = {
+        ".query.": ".to_q.", ".key.": ".to_k.", ".value.": ".to_v.",
+        ".proj_attn.": ".to_out.0.",
+    }
+    out = {}
+    for k, v in state.items():
+        for old, new in renames.items():
+            if old in k and "attentions" in k:
+                k = k.replace(old, new)
+                if k.endswith(".weight") and np.asarray(v).ndim > 2:
+                    v = np.asarray(v).reshape(v.shape[0], v.shape[1])
+                break
+        out[k] = v
+    return out

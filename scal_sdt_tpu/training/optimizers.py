@@ -1,0 +1,122 @@
+"""Optimizer construction: per-group AdamW over the trainable flat param dict.
+
+Replaces the reference's dotted-name torch optimizer instantiation with
+param groups (``/root/reference/modules/model.py:33-64``). Frozen params are
+never passed to the optimizer at all (they live in a separate branch of the
+train state), so optimizer state is allocated for trainable keys only — the
+pytree analogue of the reference's requires_grad partition, and what makes
+LoRA runs take KB of optimizer HBM instead of GB.
+
+Effective-batch LR scaling reproduces modules/model.py:44-62 exactly:
+``coeff = accumulate * batch_size * num_devices`` ('sqrt' or 'linear'),
+group lr multiplied by coeff and weight decay divided by it.
+
+Optimizer names accept both our short names and the reference's torch /
+bitsandbytes dotted names ('torch.optim.AdamW', 'bitsandbytes.optim.AdamW8bit'
+— the latter maps to AdamW; second-moment quantization is a TPU-side option,
+not a separate library).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import optax
+
+from ..conf import Config
+from .schedules import Schedule, build_lr_schedule
+
+_ADAMW_NAMES = {
+    "adamw", "torch.optim.adamw", "bitsandbytes.optim.adamw8bit",
+    "bitsandbytes.optim.adamw", "adamw8bit",
+}
+_ADAM_NAMES = {"adam", "torch.optim.adam"}
+_SGD_NAMES = {"sgd", "torch.optim.sgd"}
+
+
+def lr_scale_coeff(config: Config, num_devices: int) -> float:
+    """Effective-batch LR scaling coefficient (reference modules/model.py:44-62)."""
+    lr_scale = config.optimizer.lr_scale
+    if not lr_scale.get("enabled", False):
+        return 1.0
+    accumulate = int(config.trainer.get("accumulate_grad_batches", 1) or 1)
+    coeff = accumulate * int(config.batch_size) * num_devices
+    method = lr_scale.get("method", "sqrt")
+    if method == "sqrt":
+        return math.sqrt(coeff)
+    if method == "linear":
+        return float(coeff)
+    raise ValueError(f"Unknown lr_scale.method: {method}")
+
+
+def _base_hparams(config: Config) -> dict:
+    p = dict(config.optimizer.get("params", {}))
+    if "beta1" in p and "beta2" in p:
+        p["betas"] = (float(p.pop("beta1")), float(p.pop("beta2")))
+    p.setdefault("lr", 1e-3)
+    p.setdefault("betas", (0.9, 0.999))
+    p.setdefault("eps", 1e-8)
+    p.setdefault("weight_decay", 1e-2)
+    return p
+
+
+def _group_transform(name: str, lr: float, betas: tuple[float, float], eps: float,
+                     weight_decay: float, schedule: Schedule) -> optax.GradientTransformation:
+    name = str(name).lower()
+    parts = []
+    if name in _ADAMW_NAMES:
+        parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+    elif name in _ADAM_NAMES:
+        parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    elif name in _SGD_NAMES:
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+    else:
+        raise ValueError(f"Unknown optimizer: {name}")
+    parts.append(optax.scale_by_schedule(lambda step: -lr * schedule(step)))
+    return optax.chain(*parts)
+
+
+def build_optimizer(config: Config,
+                    labels: dict[str, str],
+                    group_overrides: dict[str, dict],
+                    steps_per_epoch: int,
+                    num_devices: int) -> tuple[optax.GradientTransformation, Callable]:
+    """Build the full gradient transformation for the trainable flat dict.
+
+    `labels`: trainable param key -> group label.
+    `group_overrides`: group label -> per-group optimizer kwargs
+    (from optim-target `optimizer:` nodes, reference modules/model.py:152-155).
+
+    Returns (tx, lr_fn) where lr_fn(step) reports the first group's lr for
+    logging (reference logs `lr` each step, modules/model.py:344-347).
+    """
+    base = _base_hparams(config)
+    coeff = lr_scale_coeff(config, num_devices)
+
+    transforms = {}
+    first_lr_fn: Optional[Callable] = None
+    for label in sorted(set(labels.values()) | set(group_overrides)):
+        over = dict(group_overrides.get(label, {}))
+        lr = float(over.get("lr", base["lr"])) * coeff
+        wd = float(over.get("weight_decay", base["weight_decay"])) / coeff
+        schedule = build_lr_schedule(config.optimizer, lr, steps_per_epoch)
+        transforms[label] = _group_transform(
+            config.optimizer.name, lr, base["betas"], float(base["eps"]), wd, schedule)
+        if first_lr_fn is None:
+            def lr_fn(step, _lr=lr, _s=schedule):
+                return _lr * _s(step)
+
+            first_lr_fn = lr_fn
+
+    tx = optax.multi_transform(transforms, lambda params: {k: labels[k] for k in params})
+
+    accumulate = int(config.trainer.get("accumulate_grad_batches", 1) or 1)
+    if accumulate > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+
+    return tx, (first_lr_fn or (lambda step: jnp.asarray(0.0)))

@@ -1,0 +1,213 @@
+"""The pjit-sharded training step: the TPU-native core of the framework.
+
+Fuses everything the reference does per batch across Lightning hooks
+(``/root/reference/modules/model.py:318-348`` and friends) into ONE compiled
+XLA program: optional VAE encode, optional CLIP encode with CFG-dropout,
+DDPM q-sample, UNet forward/backward, per-group AdamW update, LR schedule,
+and EMA update. Gradient all-reduce over the data axis is emitted by XLA as
+a ``psum`` over ICI — no NCCL, no DDP strategy, no host round-trips.
+
+Precision policy: master params fp32, compute in bf16 (``trainer.precision``;
+16 maps to bf16 on TPU — no loss scaling needed), loss/statistics fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..conf import Config
+from ..diffusion.schedule import NoiseSchedule
+from ..models.clip import CLIPTextConfig, clip_text_apply
+from ..models.functional import Params
+from ..models.unet import UNetConfig, unet_apply
+from ..models.vae import VAEConfig, encoder_apply, sample_latents
+from .ema import EMAState, ema_init, ema_update
+
+# Checkpoint key namespaces, matching the reference's Lightning state-dict
+# layout (modules/model.py:378-391) so every ckpt tool is format-compatible.
+UNET_PREFIX = "unet"
+TE_PREFIX = "condition_model.encoder"
+VAE_PREFIX = "vae"
+
+
+def component_prefix(component: str) -> str:
+    return {"unet": UNET_PREFIX, "text_encoder": TE_PREFIX}[component]
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray                 # int32 scalar
+    trainable: Params                 # prefixed flat dict (fp32 masters)
+    opt_state: Any
+    ema: Optional[EMAState]           # over trainable unet params
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class StepSpec:
+    """Static configuration closed over by the jitted step."""
+    unet_config: UNetConfig
+    clip_config: CLIPTextConfig
+    vae_config: VAEConfig
+    schedule: NoiseSchedule
+    compute_dtype: Any
+    clip_stop_at_layer: int = 1
+    remat: bool = False
+    uncond_enabled: bool = False
+    uncond_p: float = 0.1
+    uncond_mode: str = "zeros"        # 'zeros' | 'eos'
+    prior_preservation: bool = False
+    prior_loss_weight: float = 1.0
+    train_text_encoder: bool = False
+
+    @classmethod
+    def from_config(cls, config: Config, unet_config: UNetConfig,
+                    clip_config: CLIPTextConfig, vae_config: VAEConfig,
+                    train_text_encoder: bool) -> "StepSpec":
+        precision = config.trainer.get("precision", "bf16")
+        compute = jnp.float32 if str(precision) == "32" else jnp.bfloat16
+        return cls(
+            unet_config=unet_config,
+            clip_config=clip_config,
+            vae_config=vae_config,
+            schedule=NoiseSchedule(),
+            compute_dtype=compute,
+            clip_stop_at_layer=int(config.get("clip_stop_at_layer", 1)),
+            remat=bool(config.get("gradient_checkpointing", False)),
+            uncond_enabled=bool(config.uncond.get("enabled", False)),
+            uncond_p=float(config.uncond.get("p", 0.1)),
+            uncond_mode=config.uncond.get("cond", "zeros"),
+            prior_preservation=bool(config.prior_preservation.get("enabled", False)),
+            prior_loss_weight=float(config.prior_preservation.get("prior_loss_weight", 1.0)),
+            train_text_encoder=train_text_encoder,
+        )
+
+
+def _merged_component(trainable: Params, frozen: Params, prefix: str, dtype) -> Params:
+    """Component view of frozen+trainable, cast to compute dtype.
+
+    LoRA alpha scalars stay as-is (consumed as scale factors).
+    """
+    cut = len(prefix) + 1
+    out: Params = {}
+    for source in (frozen, trainable):
+        for k, v in source.items():
+            if k.startswith(prefix + "."):
+                key = k[cut:]
+                out[key] = v.astype(dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
+    return out
+
+
+def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
+                 spec: StepSpec) -> tuple[jnp.ndarray, dict]:
+    """The reference's training_step body (modules/model.py:318-348) as a pure fn.
+
+    batch keys (device arrays, fixed shapes per bucket):
+      'latents' (B,h,w,4) pre-scaled  OR  'images' (B,H,W,3) in [-1,1]
+      'conds'   (B,L,768)             OR  'input_ids' (B,L) int32
+      'uncond_ids' (1,L) int32 — empty-prompt ids (for uncond.cond='eos')
+    """
+    dt = spec.compute_dtype
+    rng_latent, rng_uncond, rng_noise, rng_t = jax.random.split(rng, 4)
+
+    # --- latents -----------------------------------------------------------
+    if "latents" in batch:
+        latents = batch["latents"].astype(dt)
+    else:
+        vae_params = _merged_component(trainable, frozen, VAE_PREFIX, dt)
+        moments = encoder_apply(vae_params, batch["images"].astype(dt), spec.vae_config)
+        latents = sample_latents(moments, rng_latent, spec.vae_config.scaling_factor)
+
+    # --- conditioning ------------------------------------------------------
+    if "conds" in batch:
+        conds = batch["conds"].astype(dt)
+    else:
+        te_params = _merged_component(trainable, frozen, TE_PREFIX, dt)
+        input_ids = batch["input_ids"]
+        if spec.uncond_enabled and spec.uncond_mode == "eos":
+            uncond_ids = jnp.broadcast_to(batch["uncond_ids"], input_ids.shape)
+            drop = jax.random.uniform(rng_uncond) < spec.uncond_p
+            input_ids = jnp.where(drop, uncond_ids, input_ids)
+        conds = clip_text_apply(te_params, input_ids, spec.clip_config,
+                                spec.clip_stop_at_layer)
+        if spec.uncond_enabled and spec.uncond_mode == "zeros":
+            drop = jax.random.uniform(rng_uncond) < spec.uncond_p
+            conds = jnp.where(drop, jnp.zeros_like(conds), conds)
+
+    # --- q-sample + UNet + MSE against the schedule target -----------------
+    bsz = latents.shape[0]
+    noise = jax.random.normal(rng_noise, latents.shape, dtype=dt)
+    timesteps = jax.random.randint(rng_t, (bsz,), 0, spec.schedule.num_train_timesteps)
+    noisy = spec.schedule.add_noise(latents, noise, timesteps)
+
+    unet_params = _merged_component(trainable, frozen, UNET_PREFIX, dt)
+    pred = unet_apply(unet_params, noisy, timesteps, conds, spec.unet_config,
+                      remat=spec.remat)
+
+    target = spec.schedule.training_target(latents, noise, timesteps)
+    per_elem = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
+
+    if spec.prior_preservation:
+        # collate appends class items after instance items (reference
+        # modules/dataset/__init__.py:79-88, loss split modules/model.py:338-340)
+        inst, prior = jnp.split(per_elem, 2, axis=0)
+        loss = inst.mean() + spec.prior_loss_weight * prior.mean()
+    else:
+        loss = per_elem.mean()
+
+    return loss, {"train_loss": loss}
+
+
+def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
+                    lr_fn, ema_enabled: bool, donate: bool = True):
+    """Build the jitted train step: (state, frozen, batch) -> (state, metrics)."""
+
+    def train_step(state: TrainState, frozen: Params, batch: dict):
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
+        (loss, metrics), grads = grad_fn(state.trainable, frozen, batch, rng, spec)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+
+        ema = state.ema
+        if ema_enabled and ema is not None:
+            unet_trainable = {k: v for k, v in trainable.items()
+                              if k.startswith(UNET_PREFIX + ".")}
+            ema = ema_update(ema, unet_trainable)
+
+        metrics = dict(metrics)
+        metrics["lr"] = lr_fn(state.step)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            trainable=trainable,
+            opt_state=opt_state,
+            ema=ema,
+            rng=state.rng,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def init_train_state(rng: jax.Array, trainable: Params, tx: optax.GradientTransformation,
+                     ema_enabled: bool, ema_decay: float) -> TrainState:
+    ema = None
+    if ema_enabled:
+        unet_trainable = {k: v for k, v in trainable.items()
+                          if k.startswith(UNET_PREFIX + ".")}
+        ema = ema_init(unet_trainable, ema_decay)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        trainable=trainable,
+        opt_state=tx.init(trainable),
+        ema=ema,
+        rng=rng,
+    )
