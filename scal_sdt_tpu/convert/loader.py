@@ -1,0 +1,202 @@
+"""Model loading: original-LDM checkpoint or diffusers directory -> param dicts.
+
+Reference behaviour (``/root/reference/modules/model.py:81-133``): if
+``config.model`` is a file, treat it as a CompVis LDM ``.ckpt/.safetensors``
+and convert; if a directory (or hub id), treat as diffusers layout. An
+external VAE may override the bundled one; CLIP-skip is applied at encode
+time (we keep all layers and truncate in the forward instead of dropping
+layers at construction — same math, see models/clip.py).
+
+Returns host numpy dicts keyed by our canonical (diffusers) names; the
+trainer device-puts them with the mesh sharding rules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..conf import Config, get_ldm_config
+from ..diffusion.schedule import NoiseSchedule
+from ..models.clip import CLIPTextConfig, clip_param_shapes
+from ..models.unet import UNetConfig, unet_param_shapes
+from ..models.vae import VAEConfig, vae_param_shapes
+from ..utils.state import load_state_dict, replace_prefix, where_prefix
+from .sd_names import (
+    convert_unet_state_ldm_to_df,
+    convert_vae_state_ldm_to_df,
+    normalize_df_vae_attention,
+)
+
+logger = logging.getLogger("loader")
+
+
+@dataclasses.dataclass
+class LoadedModels:
+    unet: dict
+    unet_config: UNetConfig
+    vae: dict
+    vae_config: VAEConfig
+    clip: dict
+    clip_config: CLIPTextConfig
+    schedule: NoiseSchedule
+
+
+def _validate(params: dict, shapes: dict, what: str):
+    missing = [k for k in shapes if k not in params]
+    if missing:
+        raise ValueError(f"{what}: {len(missing)} missing params, e.g. {missing[:5]}")
+    bad = [(k, params[k].shape, shapes[k]) for k in shapes
+           if tuple(params[k].shape) != tuple(shapes[k])]
+    if bad:
+        raise ValueError(f"{what}: shape mismatches, e.g. {bad[:3]}")
+    extra = [k for k in params if k not in shapes]
+    for k in extra:
+        del params[k]
+
+
+def _find_weights_file(d: Path) -> Path:
+    for name in ("diffusion_pytorch_model.safetensors", "model.safetensors",
+                 "pytorch_model.safetensors", "diffusion_pytorch_model.bin",
+                 "pytorch_model.bin", "model.ckpt"):
+        if (d / name).exists():
+            return d / name
+    candidates = [p for p in d.iterdir() if p.suffix in (".safetensors", ".bin", ".ckpt")]
+    if candidates:
+        return candidates[0]
+    raise FileNotFoundError(f"No weights file in {d}")
+
+
+def _load_df_component_config(d: Path) -> dict:
+    cfg = d / "config.json"
+    return json.loads(cfg.read_text()) if cfg.exists() else {}
+
+
+def _unet_config_from_df(cfg: dict) -> UNetConfig:
+    if not cfg:
+        return UNetConfig.sd15()
+    heads = cfg.get("num_attention_heads") or cfg.get("attention_head_dim", 8)
+    if isinstance(heads, (list, tuple)):
+        heads = heads[0]
+    return UNetConfig(
+        in_channels=cfg.get("in_channels", 4),
+        out_channels=cfg.get("out_channels", 4),
+        block_out_channels=tuple(cfg.get("block_out_channels", (320, 640, 1280, 1280))),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        num_attention_heads=int(heads),
+        cross_attention_dim=cfg.get("cross_attention_dim", 768),
+        down_block_types=tuple(cfg.get("down_block_types", UNetConfig.sd15().down_block_types)),
+        up_block_types=tuple(cfg.get("up_block_types", UNetConfig.sd15().up_block_types)),
+        norm_num_groups=cfg.get("norm_num_groups", 32),
+        sample_size=cfg.get("sample_size", 64) or 64,
+    )
+
+
+def _vae_config_from_df(cfg: dict) -> VAEConfig:
+    if not cfg:
+        return VAEConfig.sd15()
+    return VAEConfig(
+        in_channels=cfg.get("in_channels", 3),
+        out_channels=cfg.get("out_channels", 3),
+        latent_channels=cfg.get("latent_channels", 4),
+        block_out_channels=tuple(cfg.get("block_out_channels", (128, 256, 512, 512))),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        norm_num_groups=cfg.get("norm_num_groups", 32),
+        scaling_factor=cfg.get("scaling_factor", 0.18215),
+    )
+
+
+def _clip_config_from_df(cfg: dict) -> CLIPTextConfig:
+    if not cfg:
+        return CLIPTextConfig.vit_l()
+    return CLIPTextConfig(
+        vocab_size=cfg.get("vocab_size", 49408),
+        hidden_size=cfg.get("hidden_size", 768),
+        intermediate_size=cfg.get("intermediate_size", 3072),
+        num_hidden_layers=cfg.get("num_hidden_layers", 12),
+        num_attention_heads=cfg.get("num_attention_heads", 12),
+        max_position_embeddings=cfg.get("max_position_embeddings", 77),
+    )
+
+
+def load_diffusers_dir(path: Path, vae_override: Optional[str] = None) -> LoadedModels:
+    path = Path(path)
+
+    unet_dir = path / "unet"
+    unet_config = _unet_config_from_df(_load_df_component_config(unet_dir))
+    unet = load_state_dict(_find_weights_file(unet_dir))
+
+    if vae_override:
+        vae_dir = Path(vae_override)
+        if not vae_dir.is_dir():
+            raise FileNotFoundError(f"VAE override not found: {vae_override}")
+    else:
+        vae_dir = path / "vae"
+    vae_config = _vae_config_from_df(_load_df_component_config(vae_dir))
+    vae = normalize_df_vae_attention(load_state_dict(_find_weights_file(vae_dir)))
+
+    te_dir = path / "text_encoder"
+    clip_config = _clip_config_from_df(_load_df_component_config(te_dir))
+    clip = load_state_dict(_find_weights_file(te_dir))
+    clip.pop("text_model.embeddings.position_ids", None)
+
+    sched_file = path / "scheduler" / "scheduler_config.json"
+    schedule = (NoiseSchedule.from_diffusers_scheduler_config(json.loads(sched_file.read_text()))
+                if sched_file.exists() else NoiseSchedule())
+
+    _validate(unet, unet_param_shapes(unet_config), "unet")
+    _validate(vae, vae_param_shapes(vae_config), "vae")
+    _validate(clip, clip_param_shapes(clip_config), "text_encoder")
+    return LoadedModels(unet, unet_config, vae, vae_config, clip, clip_config, schedule)
+
+
+def load_ldm_checkpoint(path: Path, ldm_config: Optional[Config] = None,
+                        vae_path: Optional[str] = None) -> LoadedModels:
+    """Original-LDM single-file checkpoint (reference modules/model.py:96-123)."""
+    ldm_config = ldm_config if ldm_config is not None else get_ldm_config(None)
+    state = load_state_dict(Path(path))
+
+    unet_config = UNetConfig.from_ldm_config(ldm_config)
+    unet_ldm = replace_prefix(state, "model.diffusion_model.")
+    unet = convert_unet_state_ldm_to_df(unet_ldm, unet_config)
+
+    vae_config = VAEConfig.from_ldm_config(ldm_config)
+    if vae_path is not None:
+        vae_state = load_state_dict(Path(vae_path))
+        vae_ldm = replace_prefix(vae_state, "first_stage_model.")
+        if not vae_ldm:
+            vae_ldm = vae_state
+    else:
+        vae_ldm = replace_prefix(state, "first_stage_model.")
+    vae = convert_vae_state_ldm_to_df(vae_ldm, vae_config)
+
+    clip = replace_prefix(state, "cond_stage_model.transformer.")
+    clip.pop("text_model.embeddings.position_ids", None)
+    clip_config = CLIPTextConfig.vit_l()
+
+    schedule = NoiseSchedule.from_ldm_config(ldm_config)
+
+    _validate(unet, unet_param_shapes(unet_config), "unet")
+    _validate(vae, vae_param_shapes(vae_config), "vae")
+    _validate(clip, clip_param_shapes(clip_config), "text_encoder")
+    return LoadedModels(unet, unet_config, vae, vae_config, clip, clip_config, schedule)
+
+
+def load_components(config: Config) -> LoadedModels:
+    """Dispatch on config.model like the reference (modules/model.py:126-133)."""
+    name = config.model
+    if name is None:
+        raise ValueError("config.model is not set")
+    p = Path(str(name))
+    if p.is_file():
+        return load_ldm_checkpoint(p, get_ldm_config(config.get("ldm_config")),
+                                   config.get("vae"))
+    if p.is_dir():
+        return load_diffusers_dir(p, config.get("vae"))
+    raise FileNotFoundError(
+        f"Model '{name}' not found locally (hub download unavailable offline)")

@@ -1,0 +1,225 @@
+"""Datasets: image+prompt concepts, ARB variant, DreamBooth pairing, cache.
+
+Host-side analogue of ``/root/reference/modules/dataset/datasets.py`` with
+numpy HWC outputs (NHWC is the TPU-native activation layout, so no transpose
+happens on device). Semantics preserved:
+
+* concepts are (image dir, prompt) pairs; a ``{TXT_PROMPT}`` placeholder (or
+  a null prompt) pulls per-image ``.txt`` captions (datasets.py:93-106);
+* fixed-res path: resize shortest side to ``dim`` with LANCZOS, then
+  center/random crop, normalize to [-1, 1] (:114-127);
+* ARB path: resize preserving aspect ratio so the image covers the bucket,
+  then crop to the bucket size (:154-208);
+* cache-backed items return precomputed latents (one of ``aug_group_size``
+  variants chosen uniformly) and conditions (:83-88);
+* DreamBooth zips an instance item with a class item (:211-225).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Union
+
+import numpy as np
+from PIL import Image
+
+from . import Size
+from .augment import AugmentTransforms
+from .images import get_id_size_map, list_images, read_image
+
+PLACEHOLDER_TXT_PROMPT = "{TXT_PROMPT}"
+
+
+@dataclass
+class Concept:
+    path: Path
+    prompt: Optional[str]
+
+
+@dataclass
+class Item:
+    id: int
+    prompt: str
+    image: np.ndarray  # (H, W, 3) float32 in [-1, 1]
+
+
+@dataclass
+class CacheItem:
+    id: int
+    latent: np.ndarray     # (h, w, 4) float32, already scaled
+    condition: Optional[np.ndarray]  # (L, D) float32 or None
+
+
+ItemType = Union[Item, CacheItem]
+
+
+@dataclass(frozen=True)
+class Index:
+    value: int
+    size: Size
+
+
+def _to_array(img: Image.Image) -> np.ndarray:
+    arr = np.asarray(img, np.float32) / 255.0
+    return arr * 2.0 - 1.0
+
+
+class LatentCache:
+    """Reader for the offline latent/cond cache (built by ``cache.py``).
+
+    File format matches the reference byte-for-byte: one safetensors file
+    with keys ``{id}.latent.{g}`` / ``{id}.cond`` and a JSON metadata blob
+    {sizes, entries, total_entries, aug_group_size} (cache.py:129-154).
+    Latents are stored (h, w, 4) HWC.
+    """
+
+    def __init__(self, path: Union[str, Path]):
+        from safetensors import safe_open
+
+        self._f = safe_open(str(path), framework="numpy")
+        self.metadata = json.loads(self._f.metadata()["json"])
+
+    @property
+    def aug_group_size(self) -> int:
+        return int(self.metadata["aug_group_size"])
+
+    @property
+    def total_entries(self) -> int:
+        return int(self.metadata["total_entries"])
+
+    @property
+    def entries(self) -> list:
+        return self.metadata["entries"]
+
+    def latent(self, id_: int, group: int) -> np.ndarray:
+        return self._f.get_tensor(f"{id_}.latent.{group}")
+
+    def cond(self, id_: int) -> Optional[np.ndarray]:
+        key = f"{id_}.cond"
+        if key in self._f.keys():
+            return self._f.get_tensor(key)
+        return None
+
+    def latent_size(self, id_: int) -> Size:
+        h, w = self.metadata["sizes"][f"{id_}.latent.0"][:2]
+        # stored as latent shape; image-space size is x8 with (w, h) order
+        return (int(w) * 8, int(h) * 8)
+
+
+class ImagePromptDataset:
+    """Fixed-resolution dataset; index carries the target size."""
+
+    def __init__(self, concepts: list[Concept], center_crop: bool = False,
+                 augment_config=None, cache_file: Optional[Union[str, Path]] = None):
+        self.dir_prompt_map = {Path(c.path): c.prompt for c in concepts}
+        self.image_paths = list(list_images(*self.dir_prompt_map.keys()))
+        self.center_crop = center_crop
+        self.augment = AugmentTransforms(augment_config) if augment_config else None
+        self.cache = LatentCache(cache_file) if cache_file is not None else None
+
+    def __len__(self) -> int:
+        return len(self.image_paths) if self.cache is None else self.cache.total_entries
+
+    def __getitem__(self, index: Index) -> ItemType:
+        if self.cache is not None:
+            group = random.randint(0, self.cache.aug_group_size - 1)
+            return CacheItem(
+                id=index.value,
+                latent=self.cache.latent(index.value, group),
+                condition=self.cache.cond(index.value),
+            )
+        path = self.image_paths[index.value]
+        return Item(
+            id=index.value,
+            image=self._read_and_transform(path, index.size),
+            prompt=self.get_prompt(path),
+        )
+
+    def get_prompt(self, path: Path) -> str:
+        prompt = self.dir_prompt_map[path.parent]
+        if prompt is None:
+            prompt = PLACEHOLDER_TXT_PROMPT
+        elif PLACEHOLDER_TXT_PROMPT not in prompt:
+            return prompt
+        txt_path = path.with_suffix(".txt")
+        if not txt_path.is_file():
+            raise FileNotFoundError(f'Image "{path}" has no corresponding prompt txt')
+        return prompt.replace(PLACEHOLDER_TXT_PROMPT, txt_path.read_text())
+
+    def _crop(self, img: Image.Image, cw: int, ch: int) -> Image.Image:
+        if self.center_crop:
+            left = (img.width - cw) // 2
+            top = (img.height - ch) // 2
+        else:
+            left = random.randint(0, max(img.width - cw, 0))
+            top = random.randint(0, max(img.height - ch, 0))
+        return img.crop((left, top, left + cw, top + ch))
+
+    def _maybe_augment(self, img: Image.Image) -> Image.Image:
+        if self.augment is None:
+            return img
+        w, h = img.size
+        img = self.augment(img)
+        if img.size != (w, h):
+            img = img.resize((w, h), Image.BICUBIC)
+        return img
+
+    def _read_and_transform(self, path: Path, size: Size) -> np.ndarray:
+        img = read_image(path)
+        dim = size[0]
+        # resize shortest side to dim (torchvision Resize(dim) semantics)
+        scale = dim / min(img.size)
+        img = img.resize((max(round(img.width * scale), dim),
+                          max(round(img.height * scale), dim)), Image.LANCZOS)
+        img = self._crop(img, dim, dim)
+        img = self._maybe_augment(img)
+        return _to_array(img)
+
+
+class AspectDataset(ImagePromptDataset):
+    """ARB dataset: items are resized preserving aspect ratio to cover the
+    assigned bucket, then cropped to the bucket resolution."""
+
+    def __init__(self, *args, debug: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.debug = debug
+        if self.cache is None:
+            self.id_size_map = get_id_size_map(self.image_paths)
+        else:
+            self.id_size_map = {int(k): self.cache.latent_size(k) for k in self.cache.entries}
+
+    @staticmethod
+    def preserve_ratio_size(size: Size, dsize: Size) -> Size:
+        """Smallest resize of `size` that covers `dsize` at original aspect
+        (reference datasets.py:192-208)."""
+        w, h = size
+        w_d, h_d = dsize
+        scale = max(w_d / w, h_d / h)
+        return (max(int(round(w * scale)), w_d), max(int(round(h * scale)), h_d))
+
+    def _read_and_transform(self, path: Path, size: Size) -> np.ndarray:
+        img = read_image(path)
+        w_t, h_t = self.preserve_ratio_size(img.size, size)
+        img = img.resize((w_t, h_t), Image.LANCZOS)
+        img = self._crop(img, size[0], size[1])
+        img = self._maybe_augment(img)
+        if self.debug:
+            print(f"arb: {path.name} -> resize ({w_t},{h_t}) crop {size}")
+        return _to_array(img)
+
+
+class DBDataset:
+    """DreamBooth pairing: instance item + class item per index."""
+
+    def __init__(self, instance_set: ImagePromptDataset, class_set: ImagePromptDataset):
+        self.instance_set = instance_set
+        self.class_set = class_set
+
+    def __len__(self) -> int:
+        return len(self.instance_set)
+
+    def __getitem__(self, index: tuple[Index, Index]) -> tuple[ItemType, ItemType]:
+        return self.instance_set[index[0]], self.class_set[index[1]]

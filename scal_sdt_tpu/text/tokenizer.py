@@ -1,0 +1,146 @@
+"""Prompt tokenization for the CLIP text encoder.
+
+The reference tokenizes host-side with ``transformers.CLIPTokenizer``
+(``/root/reference/modules/text_encoders.py:34-41``); we do the same when
+vocab assets are available, resolved in this order:
+
+1. ``config.tokenizer`` — path to a local tokenizer directory (the reference
+   declares this key too);
+2. the model's diffusers directory (``tokenizer/`` subfolder);
+3. the HF hub id (works only with network access);
+4. a deterministic hashing fallback for offline/test environments — clearly
+   NOT CLIP-BPE; real text training requires vocab files. The fallback keeps
+   the pipeline shape-correct (BOS + ids + EOS, padded to 77).
+
+Tokenization is host-side by design: it is microseconds per batch and keeps
+strings out of the XLA program; the device step consumes int32 ids.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+import zlib
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger("tokenizer")
+
+BOS_ID = 49406
+EOS_ID = 49407
+MODEL_MAX_LENGTH = 77
+
+
+class PromptTokenizer:
+    """Protocol: prompts -> (B, max_length) int32 ids."""
+
+    max_length: int = MODEL_MAX_LENGTH
+    vocab_size: int = 49408
+
+    def __call__(self, prompts: Sequence[str]) -> np.ndarray:
+        raise NotImplementedError
+
+    def add_tokens(self, tokens: list[str]) -> int:
+        raise NotImplementedError
+
+
+class CLIPTokenizerWrapper(PromptTokenizer):
+    def __init__(self, hf_tokenizer, max_length: Optional[int] = None):
+        self.tokenizer = hf_tokenizer
+        self.max_length = max_length or hf_tokenizer.model_max_length
+        self.vocab_size = len(hf_tokenizer)
+        self._expansions: list[tuple[re.Pattern, str]] = []
+
+    @classmethod
+    def from_path(cls, path) -> "CLIPTokenizerWrapper":
+        from transformers import CLIPTokenizer
+
+        return cls(CLIPTokenizer.from_pretrained(str(path)))
+
+    def add_expansion(self, pattern: re.Pattern, replacement: str):
+        """Textual-inversion keyword expansion (reference
+        text_encoders.py:108-122, done by monkeypatching the tokenizer; here
+        it is an explicit pre-tokenization rewrite)."""
+        self._expansions.append((pattern, replacement))
+
+    def add_tokens(self, tokens: list[str]) -> int:
+        n = self.tokenizer.add_tokens(tokens)
+        self.vocab_size = len(self.tokenizer)
+        return n
+
+    def __call__(self, prompts: Sequence[str]) -> np.ndarray:
+        prompts = list(prompts)
+        for pat, repl in self._expansions:
+            prompts = [pat.sub(repl, p) for p in prompts]
+        out = self.tokenizer(prompts, truncation=True, max_length=self.max_length,
+                             padding="max_length", return_tensors="np")
+        return out.input_ids.astype(np.int32)
+
+
+class HashTokenizer(PromptTokenizer):
+    """Deterministic stand-in when no CLIP vocab exists on disk."""
+
+    def __init__(self, vocab_size: int = 49408, max_length: int = MODEL_MAX_LENGTH):
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+        self._extra: dict[str, int] = {}
+        self._expansions: list[tuple[re.Pattern, str]] = []
+
+    def add_expansion(self, pattern: re.Pattern, replacement: str):
+        self._expansions.append((pattern, replacement))
+
+    def add_tokens(self, tokens: list[str]) -> int:
+        for t in tokens:
+            if t not in self._extra:
+                self._extra[t] = self.vocab_size
+                self.vocab_size += 1
+        return len(tokens)
+
+    def _word_id(self, word: str) -> int:
+        if word in self._extra:
+            return self._extra[word]
+        return zlib.crc32(word.encode()) % (BOS_ID - 1) + 1
+
+    def __call__(self, prompts: Sequence[str]) -> np.ndarray:
+        prompts = list(prompts)
+        for pat, repl in self._expansions:
+            prompts = [pat.sub(repl, p) for p in prompts]
+        ids = np.full((len(prompts), self.max_length), EOS_ID, np.int32)
+        for b, prompt in enumerate(prompts):
+            words = re.findall(r"[^\s,]+", prompt.lower())[: self.max_length - 2]
+            ids[b, 0] = BOS_ID
+            for i, w in enumerate(words):
+                ids[b, i + 1] = self._word_id(w)
+        return ids
+
+
+def resolve_tokenizer(config) -> PromptTokenizer:
+    """Resolve per the priority list in the module docstring."""
+    candidates = []
+    if config.get("tokenizer"):
+        candidates.append(Path(config.tokenizer))
+    model = config.get("model")
+    if model and Path(str(model)).is_dir():
+        candidates.append(Path(str(model)) / "tokenizer")
+
+    for cand in candidates:
+        if cand.is_dir() and (cand / "vocab.json").exists():
+            logger.info(f"Loading tokenizer from {cand}")
+            return CLIPTokenizerWrapper.from_path(cand)
+
+    if model and not Path(str(model)).exists():
+        try:
+            from transformers import CLIPTokenizer
+
+            return CLIPTokenizerWrapper(
+                CLIPTokenizer.from_pretrained(str(model), subfolder="tokenizer"))
+        except Exception:
+            pass
+
+    logger.warning(
+        "No CLIP tokenizer vocab found (config.tokenizer / <model>/tokenizer). "
+        "Using the deterministic hashing fallback — fine for pipeline tests and "
+        "cached-latent training, NOT for real text conditioning.")
+    return HashTokenizer()

@@ -1,0 +1,192 @@
+"""Checkpoint save/load + retention policy.
+
+The reference's Lightning checkpoint contains ONLY trainable params plus the
+EMA shadow (``/root/reference/modules/model.py:378-391``) — LoRA checkpoints
+are KB-scale and full-model checkpoints omit the frozen VAE. We keep that
+exact content model and key namespace in a framework-neutral form:
+
+* ``<name>.safetensors`` — flat tensors: trainable params under
+  ``unet.*`` / ``condition_model.encoder.*`` (torch layouts, so every ckpt
+  tool and the reference's own key surgery applies verbatim), stored LoRA
+  alphas, and the EMA shadow as ``unet_ema.shadow_params.<param>`` with
+  decay/num_updates in the metadata;
+* ``<name>.trainstate`` — msgpack (flax.serialization) of optimizer state,
+  step and PRNG key for exact resume.
+
+Retention mirrors the reference's ModelCheckpoint knobs
+(``configs/README.md:41-53``): every_n_epochs / every_n_train_steps /
+save_top_k / monitor / mode, with ``{epoch}`` / ``{step}`` / metric
+templating in filenames.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+from pathlib import Path
+from typing import Any, Optional
+
+import numpy as np
+
+from ..utils.state import save_state_dict, load_state_dict, load_metadata
+from .ema import EMAState, ema_from_state_dict
+from .step import TrainState, UNET_PREFIX
+
+logger = logging.getLogger("checkpoint")
+
+EMA_PREFIX = "unet_ema.shadow_params."
+
+
+def checkpoint_state_dict(state: TrainState, frozen: dict) -> tuple[dict, dict]:
+    """(flat tensors, metadata) for the tool-consumable checkpoint file."""
+    tensors: dict[str, np.ndarray] = {}
+    for k, v in state.trainable.items():
+        tensors[k] = np.asarray(v)
+    # stored LoRA alphas live in the frozen branch but belong in the ckpt
+    # (reference registers them as buffers: modules/lora.py:24-26)
+    for k, v in frozen.items():
+        if k.endswith(".lora_alpha"):
+            tensors[k] = np.asarray(v)
+
+    meta = {"step": int(np.asarray(state.step))}
+    if state.ema is not None:
+        for k, v in state.ema.shadow.items():
+            # shadow keys are relative to the UNet, like torch named_parameters()
+            rel = k[len(UNET_PREFIX) + 1:] if k.startswith(UNET_PREFIX + ".") else k
+            tensors[EMA_PREFIX + rel] = np.asarray(v)
+        meta["ema_decay"] = float(np.asarray(state.ema.decay))
+        meta["ema_num_updates"] = int(np.asarray(state.ema.num_updates))
+    return tensors, meta
+
+
+def save_checkpoint(path: Path, state: TrainState, frozen: dict,
+                    save_train_state: bool = True):
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tensors, meta = checkpoint_state_dict(state, frozen)
+    save_state_dict(tensors, path, metadata={"json": json.dumps(meta)})
+
+    if save_train_state:
+        import jax
+        from flax import serialization
+
+        extra = {
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "rng": state.rng,
+        }
+        host = jax.tree.map(lambda x: np.asarray(x), extra)
+        Path(str(path) + ".trainstate").write_bytes(serialization.to_bytes(host))
+
+
+def load_checkpoint_tensors(path: Path) -> tuple[dict, dict]:
+    tensors = load_state_dict(path)
+    md = load_metadata(path) or {}
+    meta = json.loads(md.get("json", "{}"))
+    return tensors, meta
+
+
+def split_checkpoint(tensors: dict, meta: dict) -> tuple[dict, Optional[dict]]:
+    """-> (trainable_params, ema_state_dict or None)."""
+    trainable = {k: v for k, v in tensors.items() if not k.startswith("unet_ema.")}
+    shadow = {UNET_PREFIX + "." + k[len(EMA_PREFIX):]: v
+              for k, v in tensors.items() if k.startswith(EMA_PREFIX)}
+    ema = None
+    if shadow:
+        ema = {
+            "decay": meta.get("ema_decay", 0.995),
+            "num_updates": meta.get("ema_num_updates", 0),
+            "shadow_params": shadow,
+        }
+    return trainable, ema
+
+
+def restore_train_state(path: Path, template_state: TrainState) -> TrainState:
+    """Exact resume: tensors from the ckpt + opt/rng/step from .trainstate."""
+    import jax.numpy as jnp
+    from flax import serialization
+
+    tensors, meta = load_checkpoint_tensors(path)
+    trainable_np, ema_sd = split_checkpoint(tensors, meta)
+
+    trainable = dict(template_state.trainable)
+    loaded = 0
+    for k in trainable:
+        if k in trainable_np:
+            trainable[k] = jnp.asarray(trainable_np[k])
+            loaded += 1
+    logger.info(f"Restored {loaded}/{len(trainable)} trainable params")
+
+    ema = template_state.ema
+    if ema is not None and ema_sd is not None:
+        ema = ema_from_state_dict(ema_sd)
+
+    opt_state, rng, step = template_state.opt_state, template_state.rng, template_state.step
+    ts_path = Path(str(path) + ".trainstate")
+    if ts_path.exists():
+        import jax
+
+        host_template = jax.tree.map(
+            lambda x: np.asarray(x),
+            {"opt_state": template_state.opt_state, "step": template_state.step,
+             "rng": template_state.rng})
+        restored = serialization.from_bytes(host_template, ts_path.read_bytes())
+        opt_state = jax.tree.map(jnp.asarray, restored["opt_state"])
+        step = jnp.asarray(restored["step"])
+        rng = jnp.asarray(restored["rng"])
+        logger.info(f"Restored optimizer state at step {int(np.asarray(step))}")
+
+    return TrainState(step=step, trainable=trainable, opt_state=opt_state,
+                      ema=ema, rng=rng)
+
+
+class CheckpointManager:
+    """Filename templating + retention (reference ModelCheckpoint knobs)."""
+
+    def __init__(self, run_dir: Path, config):
+        self.run_dir = Path(run_dir)
+        self.filename = config.get("filename", "{epoch}-{train_loss:.2f}")
+        self.auto_insert_metric_name = config.get("auto_insert_metric_name", True)
+        self.every_n_epochs = config.get("every_n_epochs")
+        self.every_n_train_steps = config.get("every_n_train_steps")
+        self.save_top_k = config.get("save_top_k", -1)
+        self.monitor = config.get("monitor")
+        self.mode = config.get("mode", "min")
+        self._saved: list[tuple[float, Path]] = []
+
+    def _format_name(self, metrics: dict) -> str:
+        name = self.filename
+
+        def repl(m):
+            key, fmt = m.group(1), m.group(2) or ""
+            value = metrics.get(key, 0)
+            prefix = f"{key}=" if self.auto_insert_metric_name else ""
+            return prefix + format(value, fmt.lstrip(":")) if fmt else f"{prefix}{value}"
+
+        return re.sub(r"\{([\w.]+)(:[^}]*)?\}", repl, name)
+
+    def should_save(self, epoch_end: bool, step: int) -> bool:
+        if self.every_n_train_steps:
+            if step > 0 and step % int(self.every_n_train_steps) == 0:
+                return True
+        if epoch_end and self.every_n_epochs:
+            return True  # epoch cadence checked by caller (epoch % n == 0)
+        return False
+
+    def save(self, state: TrainState, frozen: dict, metrics: dict) -> Path:
+        path = self.run_dir / (self._format_name(metrics) + ".safetensors")
+        save_checkpoint(path, state, frozen)
+        logger.info(f"Saved checkpoint {path}")
+
+        if self.monitor and self.save_top_k and self.save_top_k > 0:
+            score = float(metrics.get(self.monitor, 0.0))
+            self._saved.append((score, path))
+            reverse = self.mode == "max"
+            self._saved.sort(key=lambda t: t[0], reverse=reverse)
+            while len(self._saved) > self.save_top_k:
+                _, victim = self._saved.pop()
+                victim.unlink(missing_ok=True)
+                Path(str(victim) + ".trainstate").unlink(missing_ok=True)
+                logger.info(f"Retention: removed {victim}")
+        return path

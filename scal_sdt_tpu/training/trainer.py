@@ -1,0 +1,273 @@
+"""The training orchestrator: explicit epoch loop around the jitted step.
+
+TPU-native replacement for the reference's ``pl.Trainer`` +
+``LatentDiffusionModel`` pairing (``/root/reference/train.py`` +
+``modules/model.py``): model loading, optim-target resolution, LoRA
+injection, tokenizer + custom embeddings, data pipeline, mesh placement,
+per-group optimizer, checkpointing/resume, metric logging and in-training
+sampling — all owned here since there is no Lightning on the JAX side
+(SURVEY.md §1 "key architectural fact").
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..conf import Config, load_optim_target
+from ..data.pipeline import DataPipeline, get_dataset, get_sampler
+from ..models.clip import CLIPTextConfig, init_clip_params
+from ..models.unet import UNetConfig, init_unet_params
+from ..models.vae import VAEConfig, init_vae_params
+from ..parallel.mesh import batch_sharding, mesh_from_config, shard_params
+from ..text.embeddings import install_custom_embeddings, load_embeddings_dir
+from ..text.tokenizer import resolve_tokenizer
+from .checkpoint import CheckpointManager, restore_train_state, save_checkpoint
+from .lora import init_lora_params
+from .optimizers import build_optimizer
+from .optim_targets import TargetResolution, resolve_optim_target
+from .step import (
+    StepSpec,
+    TE_PREFIX,
+    TrainState,
+    UNET_PREFIX,
+    VAE_PREFIX,
+    component_prefix,
+    init_train_state,
+    make_train_step,
+)
+
+logger = logging.getLogger("trainer")
+
+
+def _prefixed(params: dict, prefix: str) -> dict:
+    return {f"{prefix}.{k}": v for k, v in params.items()}
+
+
+class Trainer:
+    def __init__(self, config: Config, run_dir: Path,
+                 models=None, tokenizer=None):
+        """`models`: optional pre-loaded LoadedModels (tests inject random
+        tiny models here; the CLI loads real weights)."""
+        self.config = config
+        self.run_dir = Path(run_dir)
+
+        if models is None:
+            from ..convert.loader import load_components
+
+            models = load_components(config)
+        self.models = models
+
+        self.tokenizer = tokenizer if tokenizer is not None else resolve_tokenizer(config)
+
+        # -- custom embeddings (reference modules/model.py:209-214) ---------
+        clip_params = dict(models.clip)
+        if config.custom_embeddings.get("enabled", False):
+            embs = load_embeddings_dir(config.custom_embeddings.path)
+            logger.info(f"Loaded {len(embs)} custom embeddings")
+            clip_params = install_custom_embeddings(clip_params, self.tokenizer, embs)
+            object.__setattr__(models, "clip_config", CLIPTextConfig(
+                **{**models.clip_config.__dict__,
+                   "vocab_size": clip_params["text_model.embeddings.token_embedding.weight"].shape[0]}))
+
+        # -- optim target resolution (modules/model.py:136-164,216-242) -----
+        optim_target = load_optim_target(config.optim_target)
+        self.resolutions = resolve_optim_target(
+            optim_target, models.unet.keys(), clip_params.keys())
+        self.train_text_encoder = self.resolutions["text_encoder"].any_trainable
+
+        # -- LoRA factor injection ------------------------------------------
+        rng = jax.random.PRNGKey(int(config.get("seed") or 0))
+        rng, lora_rng = jax.random.split(rng)
+        component_params = {"unet": dict(models.unet), "text_encoder": clip_params}
+        for comp, res in self.resolutions.items():
+            if res.lora:
+                lora = init_lora_params(lora_rng, component_params[comp], res.lora)
+                component_params[comp].update({k: np.asarray(v) for k, v in lora.items()})
+                logger.info(f"Injected {len(res.lora)} LoRA modules into {comp}")
+
+        # -- trainable / frozen partition -----------------------------------
+        trainable: dict = {}
+        frozen: dict = {}
+        trainable_keys = {
+            f"{component_prefix(comp)}.{k}"
+            for comp, res in self.resolutions.items() for k in res.trainable
+        }
+        all_params = {}
+        all_params.update(_prefixed(component_params["unet"], UNET_PREFIX))
+        all_params.update(_prefixed(component_params["text_encoder"], TE_PREFIX))
+        all_params.update(_prefixed(dict(models.vae), VAE_PREFIX))
+        for k, v in all_params.items():
+            arr = np.asarray(v)
+            if np.issubdtype(arr.dtype, np.floating) or str(arr.dtype) == "bfloat16":
+                arr = arr.astype(np.float32)  # fp32 masters
+            (trainable if k in trainable_keys else frozen)[k] = arr
+        if not trainable:
+            raise ValueError("Optim target selects no trainable parameters")
+        logger.info(f"Trainable tensors: {len(trainable)}, frozen: {len(frozen)}")
+
+        # -- data -----------------------------------------------------------
+        use_cache = config.data.get("cache") is not None
+        dataset = get_dataset(config, use_cache=True)
+        sampler = get_sampler(dataset, config,
+                              jax.process_count(), jax.process_index())
+        num_workers = config.get("num_workers")
+        self.pipeline = DataPipeline(
+            dataset, sampler, config.batch_size, self.tokenizer,
+            num_workers=num_workers if num_workers is not None else 4)
+        steps_per_epoch = max(len(self.pipeline), 1)
+        self.steps_per_epoch = steps_per_epoch
+
+        # -- optimizer ------------------------------------------------------
+        from .optim_targets import group_labels
+
+        labels = group_labels(self.resolutions)
+        overrides = {}
+        g = 0
+        for comp, res in self.resolutions.items():
+            for group in res.groups:
+                overrides[f"g{g}"] = group.optimizer
+                g += 1
+        self.tx, self.lr_fn = build_optimizer(
+            config, labels, overrides, steps_per_epoch, jax.device_count())
+
+        # -- mesh + placement ----------------------------------------------
+        self.mesh = mesh_from_config(config.trainer)
+        with self.mesh:
+            self.frozen = shard_params(self.mesh, frozen)
+            trainable_dev = shard_params(self.mesh, trainable)
+
+        # -- step -----------------------------------------------------------
+        self.spec = StepSpec.from_config(
+            config, models.unet_config, models.clip_config, models.vae_config,
+            self.train_text_encoder)
+        ema_enabled = bool(config.ema.get("enabled", False))
+        self.train_step = make_train_step(
+            self.spec, self.tx, self.lr_fn, ema_enabled,
+            donate=bool(config.trainer.get("donate_state", True)))
+
+        rng, state_rng = jax.random.split(rng)
+        self.state = init_train_state(
+            state_rng, trainable_dev, self.tx, ema_enabled,
+            float(config.ema.get("decay", 0.995)))
+
+        self.ckpt = CheckpointManager(self.run_dir, config.checkpoint)
+        self._writers = self._build_loggers()
+        self.global_step = 0
+
+    # ------------------------------------------------------------------ io
+
+    def _build_loggers(self):
+        writers = []
+        loggers_conf = self.config.get("loggers", {}) or {}
+        if jax.process_index() == 0 and loggers_conf.get("tensorboard") is not None:
+            try:
+                from tensorboardX import SummaryWriter
+
+                writers.append(("tb", SummaryWriter(str(self.run_dir / "tb"))))
+            except ImportError:
+                logger.warning("tensorboardX unavailable; tensorboard logging off")
+        if jax.process_index() == 0 and loggers_conf.get("wandb") is not None:
+            try:
+                import wandb
+
+                wandb.init(project=self.config.project, dir=str(self.run_dir))
+                writers.append(("wandb", wandb))
+            except ImportError:
+                logger.warning("wandb unavailable; wandb logging off")
+        return writers
+
+    def _log(self, metrics: dict, step: int):
+        for kind, w in self._writers:
+            if kind == "tb":
+                for k, v in metrics.items():
+                    w.add_scalar(k, float(v), step)
+            else:
+                w.log(metrics, step=step)
+
+    # ---------------------------------------------------------------- loop
+
+    def resume(self, ckpt_path: Path):
+        self.state = restore_train_state(Path(ckpt_path), self.state)
+        self.global_step = int(np.asarray(self.state.step))
+        logger.info(f"Resumed at step {self.global_step}")
+
+    def _device_batch(self, batch: dict) -> dict:
+        out = {}
+        bs = batch_sharding(self.mesh)
+        for k, v in batch.items():
+            if k in ("ids", "prompts"):
+                continue
+            arr = np.asarray(v)
+            if k == "uncond_ids":
+                out[k] = jax.device_put(arr)
+            else:
+                out[k] = jax.device_put(arr, bs)
+        return out
+
+    def fit(self, sample_callback=None, max_steps_override: Optional[int] = None):
+        cfg_t = self.config.trainer
+        max_epochs = int(cfg_t.get("max_epochs", 1) or 1)
+        max_steps = max_steps_override if max_steps_override is not None \
+            else int(cfg_t.get("max_steps", -1) or -1)
+        log_every = int(cfg_t.get("log_every_n_steps", 1) or 1)
+
+        epoch = self.global_step // max(self.steps_per_epoch, 1)
+        last_metrics: dict = {}
+        t0 = time.perf_counter()
+        with self.mesh:
+            while epoch < max_epochs:
+                for batch in self.pipeline:
+                    dev_batch = self._device_batch(batch)
+                    self.state, metrics = self.train_step(self.state, self.frozen, dev_batch)
+                    self.global_step += 1
+
+                    if self.global_step % log_every == 0:
+                        host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                        dt = time.perf_counter() - t0
+                        t0 = time.perf_counter()
+                        host["steps_per_sec"] = 1.0 / max(dt, 1e-9)
+                        last_metrics = host
+                        self._log(host, self.global_step)
+                        if not np.isfinite(host.get("train_loss", 0.0)):
+                            raise FloatingPointError(
+                                f"NaN loss at step {self.global_step}")
+
+                    if sample_callback is not None:
+                        sample_callback(self, self.global_step)
+
+                    if (self.ckpt.every_n_train_steps
+                            and self.global_step % int(self.ckpt.every_n_train_steps) == 0
+                            and jax.process_index() == 0):
+                        self._save(epoch, last_metrics)
+
+                    if 0 < max_steps <= self.global_step:
+                        if jax.process_index() == 0:
+                            self._save(epoch, last_metrics)
+                        return last_metrics
+
+                epoch += 1
+                if (self.ckpt.every_n_epochs and epoch % int(self.ckpt.every_n_epochs) == 0
+                        and jax.process_index() == 0):
+                    self._save(epoch, last_metrics)
+
+        return last_metrics
+
+    def _save(self, epoch: int, metrics: dict):
+        all_metrics = {"epoch": epoch, "step": self.global_step, **metrics}
+        self.ckpt.save(self.state, self.frozen, all_metrics)
+
+    # ------------------------------------------------------------- sampling
+
+    def merged_inference_params(self) -> dict:
+        """Current frozen+trainable view for sampling/export (LoRA factors
+        stay as runtime deltas; unet_apply consumes them directly)."""
+        merged = dict(self.frozen)
+        merged.update(self.state.trainable)
+        return merged
