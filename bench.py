@@ -1,0 +1,106 @@
+"""Headline benchmark: SD1.5 UNet full fine-tune train steps/sec at 512², batch 8.
+
+Runs the real jitted training step (q-sample + UNet fwd/bwd + AdamW update +
+EMA) on cached latents/conds — exactly the reference's latent-cache fast path
+(modules/model.py:319-330), which is the BASELINE.json headline metric
+("UNet train steps/sec/chip at 512² SD1.5"). Random-initialized weights
+(no pretrained checkpoints exist in this offline image); FLOP count and
+memory traffic are identical to trained weights.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is against the 4 steps/sec north-star target (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from scal_sdt_tpu.conf import Config, default, load_optim_target, merge
+    from scal_sdt_tpu.models.unet import UNetConfig, init_unet_params
+    from scal_sdt_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+    from scal_sdt_tpu.training.optim_targets import group_labels, resolve_optim_target
+    from scal_sdt_tpu.training.optimizers import build_optimizer
+    from scal_sdt_tpu.training.step import (
+        StepSpec, UNET_PREFIX, init_train_state, make_train_step,
+    )
+
+    BATCH = 8
+    LATENT = 64  # 512px / 8
+    WARMUP = 3
+    ITERS = 20
+
+    config = merge(default(), Config({
+        "batch_size": BATCH,
+        "gradient_checkpointing": True,
+        "trainer": {"precision": "bf16", "mesh": {"data": None, "fsdp": 1}},
+        "ema": {"enabled": False},
+        "optimizer": {
+            "name": "adamw",
+            "params": {"lr": 2e-6, "beta1": 0.9, "beta2": 0.999,
+                       "weight_decay": 1e-2, "eps": 1e-8},
+            "lr_scale": {"enabled": False},
+        },
+    }))
+
+    unet_config = UNetConfig.sd15()
+    params = init_unet_params(jax.random.PRNGKey(0), unet_config, dtype=jnp.float32)
+    trainable = {f"{UNET_PREFIX}.{k}": v for k, v in params.items()}
+
+    resolutions = resolve_optim_target(
+        load_optim_target("full_unet"), params.keys(), [])
+    labels = group_labels(resolutions)
+    overrides = {f"g{i}": g.optimizer for i, g in enumerate(resolutions["unet"].groups)}
+    tx, lr_fn = build_optimizer(config, labels, overrides, steps_per_epoch=1000,
+                                num_devices=jax.device_count())
+
+    from scal_sdt_tpu.models.clip import CLIPTextConfig
+    from scal_sdt_tpu.models.vae import VAEConfig
+
+    spec = StepSpec.from_config(config, unet_config, CLIPTextConfig.vit_l(),
+                                VAEConfig.sd15(), train_text_encoder=False)
+    step_fn = make_train_step(spec, tx, lr_fn, ema_enabled=False, donate=True)
+
+    mesh = make_mesh(fsdp=1)
+    rng = np.random.RandomState(0)
+    with mesh:
+        trainable = shard_params(mesh, trainable)
+        state = init_train_state(jax.random.PRNGKey(1), trainable, tx,
+                                 ema_enabled=False, ema_decay=0.995)
+        frozen: dict = {}
+        bs = batch_sharding(mesh)
+        batch = {
+            "latents": jax.device_put(
+                rng.randn(BATCH, LATENT, LATENT, 4).astype(np.float32), bs),
+            "conds": jax.device_put(
+                rng.randn(BATCH, 77, 768).astype(np.float32), bs),
+        }
+
+        for _ in range(WARMUP):
+            state, metrics = step_fn(state, frozen, batch)
+        jax.block_until_ready(metrics["train_loss"])
+
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, metrics = step_fn(state, frozen, batch)
+        jax.block_until_ready(metrics["train_loss"])
+        dt = time.perf_counter() - t0
+
+    steps_per_sec = ITERS / dt
+    print(json.dumps({
+        "metric": "sd15_unet_full_finetune_train_steps_per_sec_b8_512",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / 4.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,283 @@
+"""Checkpoint toolchain: prune / lora / graft (reference: ckpt_tool.py).
+
+* ``prune``: training checkpoint -> WebUI-loadable LDM checkpoint with
+  per-component dtype control, optional EMA weights, optional VAE / text
+  encoder inclusion (reference ckpt_tool.py:71-135).
+* ``lora``: LoRA factors -> kohya/AddNet ``lora_unet_*`` / ``lora_te_*``
+  format, recovering alpha from the run config when absent (:156-234).
+* ``graft``: overwrite selected submodule subtrees of a base model from
+  other models per layer-spec (:289-347).
+
+Note on the text-encoder key layout: the reference maps
+``condition_model.encoder.text_model.*`` to ``cond_stage_model.transformer.*``
+(dropping the ``text_model`` segment, ckpt_tool.py:128), but every original
+SD1.x checkpoint — and what WebUI's FrozenCLIPEmbedder state dict expects —
+keeps it: ``cond_stage_model.transformer.text_model.*``. We emit the correct
+(original-checkpoint) layout.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import lru_cache
+from pathlib import Path
+from typing import Optional
+
+import click
+import numpy as np
+
+from ..conf import get_ldm_config, load as conf_load, search_key
+from ..convert.sd_names import (
+    convert_unet_state_df_to_ldm,
+    convert_unet_state_ldm_to_df,
+    convert_vae_state_df_to_ldm,
+    normalize_df_vae_attention,
+)
+from ..models.unet import UNetConfig
+from ..utils.state import (
+    DTYPE_MAP,
+    SUPPORTED_FORMATS,
+    cast_type,
+    load_state_dict,
+    replace_prefix,
+    save_state_dict,
+    where_prefix,
+)
+
+logger = logging.getLogger("ckpt-tool")
+
+UNET_CKPT_PREFIX = "unet."
+TE_CKPT_PREFIX = "condition_model.encoder."
+EMA_CKPT_PREFIX = "unet_ema.shadow_params."
+
+
+def check_overwrite(path: Path, overwrite: bool):
+    if path.exists() and not overwrite:
+        raise FileExistsError(f"{path} already exists")
+
+
+@click.group()
+def main():
+    pass
+
+
+@main.command()
+@click.argument("checkpoint", type=click.Path(exists=True, dir_okay=False, path_type=Path))
+@click.argument("output", type=click.Path(path_type=Path))
+@click.option("--unet-dtype", type=click.Choice(list(DTYPE_MAP)), default="fp16",
+              help="Save UNet weights in this data type.")
+@click.option("--text-encoder", is_flag=True, help="Include text encoder weights.")
+@click.option("--text-encoder-dtype", type=click.Choice(list(DTYPE_MAP)), default="fp16")
+@click.option("--vae", type=click.Path(exists=True, dir_okay=False, path_type=Path),
+              help="Include VAE weights from an LDM VAE file or checkpoint containing one.")
+@click.option("--df-vae", type=str,
+              help="Include VAE weights from a diffusers VAE directory.")
+@click.option("--vae-dtype", type=click.Choice(list(DTYPE_MAP)), default="fp32")
+@click.option("--overwrite", is_flag=True)
+@click.option("--format", "fmt", type=click.Choice(SUPPORTED_FORMATS), default=None)
+@click.option("--ema", is_flag=True, help="Use EMA weights.")
+def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
+          text_encoder_dtype: str, vae: Optional[Path], df_vae: Optional[str],
+          vae_dtype: str, overwrite: bool, fmt: Optional[str], ema: bool):
+    """Convert a training checkpoint for CompVis/StabilityAI LDM codebases."""
+    check_overwrite(output, overwrite)
+    assert not (vae and df_vae), "Only one of --vae / --df-vae may be given"
+
+    state = load_state_dict(checkpoint)
+    ldm_state: dict = {}
+
+    # UNet (EMA shadow keys are relative to the UNet, like the reference's)
+    if ema:
+        unet_state = replace_prefix(state, EMA_CKPT_PREFIX)
+        if not unet_state:
+            raise ValueError("Checkpoint has no EMA weights")
+    else:
+        unet_state = replace_prefix(state, UNET_CKPT_PREFIX)
+    unet_state = {k: v for k, v in unet_state.items() if ".lora_" not in k}
+    unet_state = convert_unet_state_df_to_ldm(unet_state)
+    unet_state = replace_prefix(unet_state, "", "model.diffusion_model.")
+    ldm_state.update(cast_type(unet_state, unet_dtype))
+
+    # VAE
+    vae_state = None
+    if vae is not None:
+        vae_state = load_state_dict(vae)
+        from_ldm = where_prefix(vae_state, "first_stage_model.")
+        vae_state = from_ldm if from_ldm else replace_prefix(vae_state, "", "first_stage_model.")
+    elif df_vae is not None:
+        from ..convert.loader import _find_weights_file
+
+        vae_state = normalize_df_vae_attention(
+            load_state_dict(_find_weights_file(Path(df_vae))))
+        vae_state = convert_vae_state_df_to_ldm(vae_state)
+        vae_state = replace_prefix(vae_state, "", "first_stage_model.")
+    if vae_state is not None:
+        ldm_state.update(cast_type(vae_state, vae_dtype))
+
+    # Text encoder
+    if text_encoder:
+        te_state = replace_prefix(state, TE_CKPT_PREFIX, "cond_stage_model.transformer.")
+        te_state = {k: v for k, v in te_state.items() if ".lora_" not in k}
+        if not te_state:
+            logger.warning("Checkpoint has no text-encoder weights; skipping "
+                           "(the reference falls back to pristine CLIP-L, which "
+                           "requires network access unavailable here)")
+        else:
+            ldm_state.update(cast_type(te_state, text_encoder_dtype))
+
+    save_state_dict(ldm_state, output, fmt)
+    logger.info(f"Wrote {len(ldm_state)} tensors to {output}")
+
+
+def to_kohya_format(state: dict, prefix: str, fallback_alpha=None) -> dict:
+    """LoRA factor keys -> AddNet naming (reference ckpt_tool.py:185-222)."""
+    lora_modules = {k.rsplit(".", 1)[0] for k in state
+                    if k.endswith(".lora_A") or k.endswith(".lora_B")}
+    key_map = {"lora_A": "lora_down.weight", "lora_B": "lora_up.weight",
+               "lora_alpha": "alpha"}
+    out = {}
+    for module in lora_modules:
+        if f"{module}.lora_alpha" not in state and fallback_alpha is not None:
+            state[f"{module}.lora_alpha"] = np.asarray(int(fallback_alpha), np.int32)
+        for suffix, kohya_key in key_map.items():
+            k = f"{module}.{suffix}"
+            if k in state:
+                name = "_".join([prefix] + module.split("."))
+                out[f"{name}.{kohya_key}"] = state[k]
+    return out
+
+
+@main.command("lora")
+@click.argument("checkpoint", type=click.Path(exists=True, dir_okay=False, path_type=Path))
+@click.argument("output", type=click.Path(path_type=Path))
+@click.option("--overwrite", is_flag=True)
+@click.option("--format", "fmt", type=click.Choice(SUPPORTED_FORMATS), default=None)
+@click.option("--dtype", type=click.Choice(list(DTYPE_MAP)), default="fp16")
+def extract_lora_cmd(checkpoint: Path, output: Path, overwrite: bool,
+                     fmt: Optional[str], dtype: str):
+    """Export trained LoRA factors in kohya/AddNet-compatible format."""
+    check_overwrite(output, overwrite)
+
+    def get_alpha():
+        run_config = checkpoint.parent / "config.yaml"
+        if not run_config.exists():
+            logger.warning("No run config next to checkpoint; alpha defaults off")
+            return None
+        from ..conf import load_optim_target
+
+        optim_target = conf_load(run_config).optim_target
+        if isinstance(optim_target, str):
+            optim_target = load_optim_target(optim_target)
+        return next(search_key(optim_target, "lora"), {}).get("alpha")
+
+    state = load_state_dict(checkpoint)
+    result = {}
+    unet = replace_prefix(state, UNET_CKPT_PREFIX)
+    result.update(to_kohya_format(unet, "lora_unet", get_alpha()))
+    te = replace_prefix(state, TE_CKPT_PREFIX)
+    result.update(to_kohya_format(te, "lora_te", get_alpha()))
+
+    cast = {k: (v.astype(DTYPE_MAP[dtype])
+                if np.issubdtype(np.asarray(v).dtype, np.floating) else v)
+            for k, v in result.items()}
+    save_state_dict(cast, output, fmt)
+    logger.info(f"Wrote {len(cast)} LoRA tensors to {output}")
+
+
+def load_as_diffusers_state(path: Path, ldm_config_path: Optional[str] = None):
+    """(unet_state, clip_state) in diffusers naming, from either layout."""
+    path = Path(path)
+    if path.is_dir():
+        from ..convert.loader import _find_weights_file
+
+        unet_state = load_state_dict(_find_weights_file(path / "unet"))
+        clip_state = load_state_dict(_find_weights_file(path / "text_encoder"))
+    else:
+        state = load_state_dict(path)
+        cfg = UNetConfig.from_ldm_config(get_ldm_config(ldm_config_path))
+        unet_state = convert_unet_state_ldm_to_df(
+            replace_prefix(state, "model.diffusion_model."), cfg)
+        clip_state = replace_prefix(state, "cond_stage_model.transformer.")
+    clip_state.pop("text_model.embeddings.position_ids", None)
+    return unet_state, clip_state
+
+
+@main.command("graft")
+@click.argument("base_model_path", type=click.Path(exists=True, path_type=Path), nargs=1)
+@click.argument("model_paths", type=click.Path(exists=True, path_type=Path), nargs=-1)
+@click.argument("output_path", type=click.Path(path_type=Path), nargs=1)
+@click.option("--layer-spec", type=click.Path(exists=True, path_type=Path), required=True,
+              help="Layer specification (see configs/optim_targets).")
+@click.option("--overwrite", is_flag=True)
+@click.option("--format", "fmt", type=click.Choice(SUPPORTED_FORMATS), default=None)
+@click.option("--unet-dtype", type=click.Choice(list(DTYPE_MAP)), default="fp32")
+@click.option("--text-encoder-dtype", type=click.Choice(list(DTYPE_MAP)), default="fp32")
+@click.option("--lru-cache-size", type=int, default=3)
+@click.option("--ldm-config", type=str, default=None)
+def graft(base_model_path: Path, model_paths: tuple[Path, ...], output_path: Path,
+          layer_spec: Path, overwrite: bool, fmt: Optional[str], unet_dtype: str,
+          text_encoder_dtype: str, lru_cache_size: int, ldm_config: Optional[str]):
+    """Graft submodule subtrees from other models onto a base model."""
+    check_overwrite(output_path, overwrite)
+    layer_config = conf_load(layer_spec)
+
+    base_unet, base_clip = load_as_diffusers_state(base_model_path, ldm_config)
+
+    cached_load = lru_cache(maxsize=lru_cache_size)(
+        lambda p: load_as_diffusers_state(Path(p), ldm_config))
+
+    for comp_idx, (comp_name, base_state) in enumerate(
+            [("unet", base_unet), ("text_encoder", base_clip)]):
+        section = layer_config.get(comp_name)
+        if section is None:
+            continue
+        _graft_walk(section.targets, "", base_state, model_paths, cached_load, comp_idx)
+
+    ldm_state = {}
+    unet_state = convert_unet_state_df_to_ldm(base_unet)
+    unet_state = replace_prefix(unet_state, "", "model.diffusion_model.")
+    ldm_state.update(cast_type(unet_state, unet_dtype))
+    clip_state = replace_prefix(base_clip, "", "cond_stage_model.transformer.")
+    ldm_state.update(cast_type(clip_state, text_encoder_dtype))
+    save_state_dict(ldm_state, output_path, fmt)
+    logger.info(f"Wrote grafted model ({len(ldm_state)} tensors) to {output_path}")
+
+
+def _graft_walk(nodes, prefix, base_state, model_paths, cached_load, comp_idx):
+    from ..conf import Config
+
+    keys = list(base_state.keys())
+
+    def children(pfx):
+        start = pfx + "." if pfx else ""
+        seen = {}
+        for k in keys:
+            if k.startswith(start) and "." in k[len(start):]:
+                seen.setdefault(k[len(start):].split(".", 1)[0])
+        return list(seen)
+
+    for node in nodes:
+        node = node if isinstance(node, Config) else Config(node or {})
+        index = node.get("index")
+        targets = node.get("targets")
+        selected = children(prefix) if index is None else list(index)
+        for path in selected:
+            sub = f"{prefix}.{path}" if prefix else path
+            if targets is not None:
+                _graft_walk(targets, sub, base_state, model_paths, cached_load, comp_idx)
+            else:
+                source = node.get("source")
+                if source is None:
+                    continue
+                donor = cached_load(str(model_paths[int(source)]))[comp_idx]
+                n = 0
+                for k in keys:
+                    if k.startswith(sub + "."):
+                        base_state[k] = donor[k]
+                        n += 1
+                logger.info(f"Grafted {sub} ({n} tensors) from model [{source}]")
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level="INFO")
+    main()

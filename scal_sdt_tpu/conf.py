@@ -100,12 +100,29 @@ def merge(*configs: ConfigLike) -> Any:
     return result
 
 
+class _Loader(yaml.SafeLoader):
+    """SafeLoader with a YAML-1.2 float resolver: PyYAML's 1.1 rules parse
+    '5e-4' (no dot) as a *string*, which silently breaks lr configs."""
+
+
+_Loader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    __import__("re").compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\.[0-9][0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""", __import__("re").X),
+    list("-+0123456789."),
+)
+
+
 def load(source: Union[str, PathLike, IO]) -> Any:
     if isinstance(source, (str, PathLike)):
         with open(source) as f:
-            data = yaml.safe_load(f)
+            data = yaml.load(f, _Loader)
     else:
-        data = yaml.safe_load(source)
+        data = yaml.load(source, _Loader)
     return Config._wrap(data)
 
 

@@ -73,6 +73,9 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         not FORCE_XLA
         and not causal
         and qh.shape[2] >= _PALLAS_MIN_Q_LEN
+        and kh.shape[2] >= _PALLAS_MIN_Q_LEN   # short-KV cross-attn: XLA wins
+        and qh.shape[2] % 128 == 0
+        and kh.shape[2] % 128 == 0
         and jax.default_backend() == "tpu"
     )
     if use_pallas:

@@ -29,8 +29,10 @@ class EMAState(NamedTuple):
 
 
 def ema_init(params: Params, decay: float) -> EMAState:
+    # copy=True: astype on an already-fp32 array would alias the trainable
+    # buffer, and aliased buffers break jit donation (donated twice).
     return EMAState(
-        shadow={k: jnp.asarray(v, jnp.float32) for k, v in params.items()},
+        shadow={k: jnp.array(v, jnp.float32, copy=True) for k, v in params.items()},
         num_updates=jnp.asarray(0, jnp.int32),
         decay=jnp.asarray(decay, jnp.float32),
     )
