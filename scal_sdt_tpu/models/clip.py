@@ -101,14 +101,19 @@ def clip_param_shapes(config: CLIPTextConfig) -> dict[str, tuple[int, ...]]:
 
 def init_clip_params(rng: jax.Array, config: CLIPTextConfig, dtype=jnp.float32) -> Params:
     shapes = clip_param_shapes(config)
-    params: Params = {}
-    keys = jax.random.split(rng, len(shapes))
-    for key, (name, shape) in zip(keys, sorted(shapes.items())):
-        if name.endswith(".bias"):
-            params[name] = jnp.zeros(shape, dtype)
-        elif len(shape) == 1:
-            params[name] = jnp.ones(shape, dtype)
-        else:
-            fan_in = shape[-1]
-            params[name] = jax.random.normal(key, shape, dtype) * (1.0 / math.sqrt(fan_in))
-    return params
+
+    @jax.jit
+    def init(key):
+        params: Params = {}
+        keys = jax.random.split(key, len(shapes))
+        for k, (name, shape) in zip(keys, sorted(shapes.items())):
+            if name.endswith(".bias"):
+                params[name] = jnp.zeros(shape, dtype)
+            elif len(shape) == 1:
+                params[name] = jnp.ones(shape, dtype)
+            else:
+                fan_in = shape[-1]
+                params[name] = jax.random.normal(k, shape, dtype) * (1.0 / math.sqrt(fan_in))
+        return params
+
+    return init(rng)

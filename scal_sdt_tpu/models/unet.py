@@ -368,14 +368,23 @@ def unet_param_shapes(config: UNetConfig) -> dict[str, tuple[int, ...]]:
 
 
 def init_unet_params(rng: jax.Array, config: UNetConfig, dtype=jnp.float32) -> Params:
-    """Random init (fan-in scaled); real runs import pretrained weights."""
+    """Random init (fan-in scaled); real runs import pretrained weights.
+
+    Runs as ONE jitted program: per-tensor dispatch is prohibitively slow on
+    remote-attached TPUs (hundreds of ops x tunnel round-trip).
+    """
     shapes = unet_param_shapes(config)
-    params: Params = {}
-    keys = jax.random.split(rng, len(shapes))
-    for key, (name, shape) in zip(keys, sorted(shapes.items())):
-        if name.endswith(".bias") or ("norm" in name and name.endswith(".weight") and len(shape) == 1):
-            params[name] = (jnp.zeros if name.endswith(".bias") else jnp.ones)(shape, dtype)
-        else:
-            fan_in = int(np.prod(shape[1:])) if len(shape) > 1 else shape[0]
-            params[name] = jax.random.normal(key, shape, dtype) * (1.0 / math.sqrt(max(fan_in, 1)))
-    return params
+
+    @jax.jit
+    def init(key):
+        params: Params = {}
+        keys = jax.random.split(key, len(shapes))
+        for k, (name, shape) in zip(keys, sorted(shapes.items())):
+            if name.endswith(".bias") or (len(shape) == 1 and name.endswith(".weight")):
+                params[name] = (jnp.zeros if name.endswith(".bias") else jnp.ones)(shape, dtype)
+            else:
+                fan_in = int(np.prod(shape[1:])) if len(shape) > 1 else shape[0]
+                params[name] = jax.random.normal(k, shape, dtype) * (1.0 / math.sqrt(max(fan_in, 1)))
+        return params
+
+    return init(rng)

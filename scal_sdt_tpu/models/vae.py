@@ -209,14 +209,19 @@ def vae_param_shapes(config: VAEConfig) -> dict[str, tuple[int, ...]]:
 
 def init_vae_params(rng: jax.Array, config: VAEConfig, dtype=jnp.float32) -> Params:
     shapes = vae_param_shapes(config)
-    params: Params = {}
-    keys = jax.random.split(rng, len(shapes))
-    for key, (name, shape) in zip(keys, sorted(shapes.items())):
-        if name.endswith(".bias"):
-            params[name] = jnp.zeros(shape, dtype)
-        elif len(shape) == 1:
-            params[name] = jnp.ones(shape, dtype)
-        else:
-            fan_in = int(np.prod(shape[1:]))
-            params[name] = jax.random.normal(key, shape, dtype) * (1.0 / math.sqrt(max(fan_in, 1)))
-    return params
+
+    @jax.jit
+    def init(key):
+        params: Params = {}
+        keys = jax.random.split(key, len(shapes))
+        for k, (name, shape) in zip(keys, sorted(shapes.items())):
+            if name.endswith(".bias"):
+                params[name] = jnp.zeros(shape, dtype)
+            elif len(shape) == 1:
+                params[name] = jnp.ones(shape, dtype)
+            else:
+                fan_in = int(np.prod(shape[1:]))
+                params[name] = jax.random.normal(k, shape, dtype) * (1.0 / math.sqrt(max(fan_in, 1)))
+        return params
+
+    return init(rng)

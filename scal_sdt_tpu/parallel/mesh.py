@@ -67,11 +67,13 @@ def param_sharding(mesh: Mesh, name: str, shape: tuple[int, ...]) -> NamedShardi
 
 
 def shard_params(mesh: Mesh, params: dict) -> dict:
-    """Device-put a flat param dict according to the FSDP rule."""
-    return {
-        k: jax.device_put(v, param_sharding(mesh, k, tuple(v.shape)))
-        for k, v in params.items()
-    }
+    """Device-put a flat param dict according to the FSDP rule.
+
+    One pytree-level device_put call: per-leaf calls each pay a full dispatch
+    round-trip, which is ruinous on remote-attached TPUs (~0.5 s/op).
+    """
+    shardings = {k: param_sharding(mesh, k, tuple(v.shape)) for k, v in params.items()}
+    return jax.device_put(params, shardings)
 
 
 def params_shardings(mesh: Mesh, params: dict) -> dict:

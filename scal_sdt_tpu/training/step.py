@@ -199,15 +199,20 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
 
 def init_train_state(rng: jax.Array, trainable: Params, tx: optax.GradientTransformation,
                      ema_enabled: bool, ema_decay: float) -> TrainState:
-    ema = None
-    if ema_enabled:
-        unet_trainable = {k: v for k, v in trainable.items()
-                          if k.startswith(UNET_PREFIX + ".")}
-        ema = ema_init(unet_trainable, ema_decay)
-    return TrainState(
-        step=jnp.asarray(0, jnp.int32),
-        trainable=trainable,
-        opt_state=tx.init(trainable),
-        ema=ema,
-        rng=rng,
-    )
+    # Jitted as one program — optimizer/EMA init is hundreds of zeros_like
+    # leaves, and eager per-leaf dispatch is slow on remote-attached TPUs.
+    def build(trainable, rng):
+        ema = None
+        if ema_enabled:
+            unet_trainable = {k: v for k, v in trainable.items()
+                              if k.startswith(UNET_PREFIX + ".")}
+            ema = ema_init(unet_trainable, ema_decay)
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            trainable=trainable,
+            opt_state=tx.init(trainable),
+            ema=ema,
+            rng=rng,
+        )
+
+    return jax.jit(build)(trainable, rng)
