@@ -1,0 +1,87 @@
+"""EMA decay-warmup formula, LR scaling, and schedule semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scal_sdt_tpu.conf import Config, default, merge
+from scal_sdt_tpu.training.ema import ema_init, ema_update
+from scal_sdt_tpu.training.optimizers import lr_scale_coeff
+from scal_sdt_tpu.training.schedules import build_base_schedule, wrap_warmup
+
+
+def test_ema_decay_warmup_formula():
+    """decay_t = min(decay, (1+n)/(10+n)) — reference modules/ema.py:48-53."""
+    params = {"w": jnp.asarray([1.0])}
+    state = ema_init(params, decay=0.995)
+    new_params = {"w": jnp.asarray([0.0])}
+
+    state = ema_update(state, new_params)
+    # n=1: decay = min(0.995, 2/11)
+    d1 = 2.0 / 11.0
+    np.testing.assert_allclose(np.asarray(state.shadow["w"]), [d1 * 1.0], rtol=1e-6)
+
+    state = ema_update(state, new_params)
+    d2 = 3.0 / 12.0
+    np.testing.assert_allclose(np.asarray(state.shadow["w"]), [d1 * d2], rtol=1e-6)
+
+
+def test_ema_shadow_does_not_alias_params():
+    params = {"w": jnp.asarray([1.0, 2.0])}
+    state = ema_init(params, 0.9)
+    assert state.shadow["w"] is not params["w"]
+
+
+def _config(lr_scale_enabled=True, method="sqrt", accumulate=1, batch=4):
+    return merge(default(), Config({
+        "batch_size": batch,
+        "trainer": {"accumulate_grad_batches": accumulate},
+        "optimizer": {"lr_scale": {"enabled": lr_scale_enabled, "method": method}},
+    }))
+
+
+def test_lr_scale_coeff_matches_reference():
+    """coeff = accumulate * batch * devices; sqrt or linear
+    (reference modules/model.py:44-62)."""
+    cfg = _config(True, "sqrt", accumulate=2, batch=4)
+    assert lr_scale_coeff(cfg, num_devices=8) == np.sqrt(2 * 4 * 8)
+    cfg = _config(True, "linear", accumulate=1, batch=2)
+    assert lr_scale_coeff(cfg, num_devices=4) == 8
+    cfg = _config(False)
+    assert lr_scale_coeff(cfg, num_devices=8) == 1.0
+
+
+def test_cosine_schedule_matches_torch_formula():
+    # torch CosineAnnealingLR at fractional epochs with eta_min
+    base_lr, eta_min, t_max = 2e-6, 2e-7, 100.0
+    sched = build_base_schedule("torch.optim.lr_scheduler.CosineAnnealingLR",
+                                {"T_max": t_max, "eta_min": eta_min},
+                                steps_per_epoch=10, base_lr=base_lr)
+    for step in [0, 250, 500, 1000]:
+        epoch = step / 10
+        expected = eta_min + (base_lr - eta_min) * (1 + np.cos(np.pi * epoch / t_max)) / 2
+        got = float(sched(jnp.asarray(step))) * base_lr
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_warmup_ramps_from_init_lr():
+    base_lr = 1e-3
+    base = build_base_schedule("constant", {"factor": 1.0}, 10)
+    sched = wrap_warmup(base, base_lr, init_lr=1e-6, num_warmup=100, strategy="linear")
+    lr0 = float(sched(jnp.asarray(0))) * base_lr
+    lr50 = float(sched(jnp.asarray(50))) * base_lr
+    lr100 = float(sched(jnp.asarray(100))) * base_lr
+    lr200 = float(sched(jnp.asarray(200))) * base_lr
+    np.testing.assert_allclose(lr0, 1e-6, rtol=1e-5)
+    assert 4e-4 < lr50 < 6e-4
+    np.testing.assert_allclose(lr100, base_lr, rtol=1e-5)
+    np.testing.assert_allclose(lr200, base_lr, rtol=1e-5)
+
+
+def test_constant_warmup_strategy_is_implemented():
+    """The reference's 'constant' branch is unreachable (warmup_lr.py:20-25
+    tests 'cosine' twice); ours works."""
+    base = build_base_schedule("constant", {}, 10)
+    sched = wrap_warmup(base, 1.0, init_lr=0.1, num_warmup=10, strategy="constant")
+    np.testing.assert_allclose(float(sched(jnp.asarray(5))), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(jnp.asarray(10))), 1.0, rtol=1e-6)
