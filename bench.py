@@ -20,8 +20,16 @@ import numpy as np
 
 
 def main():
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from scal_sdt_tpu.conf import Config, default, load_optim_target, merge
     from scal_sdt_tpu.models.unet import UNetConfig, init_unet_params
@@ -32,14 +40,19 @@ def main():
         StepSpec, UNET_PREFIX, init_train_state, make_train_step,
     )
 
-    BATCH = 8
+    BATCH = int(os.environ.get("SSDT_BENCH_BATCH", 8))
     LATENT = 64  # 512px / 8
     WARMUP = 3
     ITERS = 20
 
+    if os.environ.get("SSDT_BENCH_FORCE_XLA") == "1":
+        from scal_sdt_tpu.ops import attention as attention_ops
+
+        attention_ops.FORCE_XLA = True
+
     config = merge(default(), Config({
         "batch_size": BATCH,
-        "gradient_checkpointing": True,
+        "gradient_checkpointing": os.environ.get("SSDT_BENCH_REMAT", "1") == "1",
         "trainer": {"precision": "bf16", "mesh": {"data": None, "fsdp": 1}},
         "ema": {"enabled": False},
         "optimizer": {

@@ -152,6 +152,18 @@ class DataPipeline:
     def __iter__(self) -> Iterator[dict]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer abandoned us
+            (early break out of the epoch, e.g. max_steps reached)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             # Windowed submission: at most workers+prefetch decoded batches in
@@ -167,21 +179,25 @@ class DataPipeline:
                     for idx_batch in itertools.islice(batches, window):
                         pending.append(pool.submit(self._load_batch, idx_batch))
                     while pending:
-                        q.put(pending.popleft().result())
+                        if not put(pending.popleft().result()):
+                            return
                         nxt = next(batches, None)
                         if nxt is not None:
                             pending.append(pool.submit(self._load_batch, nxt))
             except BaseException as e:  # propagate to consumer
-                q.put(e)
+                put(e)
                 return
-            q.put(sentinel)
+            put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

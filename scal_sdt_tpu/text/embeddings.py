@@ -33,6 +33,9 @@ class CustomEmbedding:
         self.keyword_regex = re.compile(rf"(?:^|(?<=\s|,)){re.escape(keyword)}(?=,|\s|$)")
         self.keyword_replacement = " ".join(self.tokens)
 
+    def expand_keyword(self, text: str) -> str:
+        return self.keyword_regex.sub(self.keyword_replacement, text)
+
     @classmethod
     def load(cls, path: Path) -> "CustomEmbedding":
         path = Path(path)

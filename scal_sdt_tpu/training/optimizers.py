@@ -28,10 +28,8 @@ import optax
 from ..conf import Config
 from .schedules import Schedule, build_lr_schedule
 
-_ADAMW_NAMES = {
-    "adamw", "torch.optim.adamw", "bitsandbytes.optim.adamw8bit",
-    "bitsandbytes.optim.adamw", "adamw8bit",
-}
+_ADAMW_NAMES = {"adamw", "torch.optim.adamw", "bitsandbytes.optim.adamw"}
+_ADAMW_8BIT_NAMES = {"adamw8bit", "bitsandbytes.optim.adamw8bit"}
 _ADAM_NAMES = {"adam", "torch.optim.adam"}
 _SGD_NAMES = {"sgd", "torch.optim.sgd"}
 
@@ -68,6 +66,12 @@ def _group_transform(name: str, lr: float, betas: tuple[float, float], eps: floa
     parts = []
     if name in _ADAMW_NAMES:
         parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+    elif name in _ADAMW_8BIT_NAMES:
+        from .quantized import scale_by_adam_8bit
+
+        parts.append(scale_by_adam_8bit(b1=betas[0], b2=betas[1], eps=eps))
         if weight_decay:
             parts.append(optax.add_decayed_weights(weight_decay))
     elif name in _ADAM_NAMES:

@@ -66,6 +66,12 @@ class Trainer:
 
         self.tokenizer = tokenizer if tokenizer is not None else resolve_tokenizer(config)
 
+        # `xformers: false` in the reference disables memory-efficient
+        # attention; here it disables the Pallas flash-attention path.
+        from ..ops import attention as attention_ops
+
+        attention_ops.FORCE_XLA = not bool(config.get("xformers", True))
+
         # -- custom embeddings (reference modules/model.py:209-214) ---------
         clip_params = dict(models.clip)
         if config.custom_embeddings.get("enabled", False):
@@ -218,15 +224,34 @@ class Trainer:
             else int(cfg_t.get("max_steps", -1) or -1)
         log_every = int(cfg_t.get("log_every_n_steps", 1) or 1)
 
+        # jax.profiler trace capture, a capability the reference lacks
+        # entirely (SURVEY.md §5.1): profiler: {enabled, start_step, num_steps, dir}
+        prof = self.config.get("profiler", {}) or {}
+        prof_enabled = bool(prof.get("enabled", False)) and jax.process_index() == 0
+        prof_start = int(prof.get("start_step", 10))
+        prof_steps = int(prof.get("num_steps", 5))
+        prof_dir = str(prof.get("dir") or (self.run_dir / "profile"))
+        prof_active = False
+
         epoch = self.global_step // max(self.steps_per_epoch, 1)
         last_metrics: dict = {}
         t0 = time.perf_counter()
         with self.mesh:
             while epoch < max_epochs:
                 for batch in self.pipeline:
+                    if prof_enabled and not prof_active and self.global_step == prof_start:
+                        jax.profiler.start_trace(prof_dir)
+                        prof_active = True
+
                     dev_batch = self._device_batch(batch)
                     self.state, metrics = self.train_step(self.state, self.frozen, dev_batch)
                     self.global_step += 1
+
+                    if prof_active and self.global_step >= prof_start + prof_steps:
+                        jax.block_until_ready(metrics["train_loss"])
+                        jax.profiler.stop_trace()
+                        prof_active = False
+                        logger.info(f"Wrote profiler trace to {prof_dir}")
 
                     if self.global_step % log_every == 0:
                         host = {k: float(np.asarray(v)) for k, v in metrics.items()}

@@ -1,0 +1,59 @@
+"""Int8 Adam: quantization round-trip + convergence close to fp32 Adam."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from scal_sdt_tpu.training.quantized import _dequantize, _quantize, scale_by_adam_8bit
+
+
+def test_quantize_roundtrip_error_bounded():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(37, 53).astype(np.float32))  # non-multiple of block
+    q, s = _quantize(x)
+    back = _dequantize(q, s, x.shape)
+    # blockwise absmax int8: error <= scale/2 per element
+    err = np.abs(np.asarray(back - x))
+    tol = np.abs(np.asarray(x)).max() / 127.0
+    assert err.max() <= tol + 1e-7
+    assert q.dtype == jnp.int8
+
+
+def test_adam8bit_close_to_fp32_adam_on_quadratic():
+    def loss_fn(p):
+        return jnp.sum(jnp.square(p["w"] - 3.0)) + jnp.sum(jnp.square(p["b"] + 1.0))
+
+    params8 = {"w": jnp.zeros((300,)), "b": jnp.zeros((300,))}
+    params32 = jax.tree.map(jnp.copy, params8)
+
+    tx8 = optax.chain(scale_by_adam_8bit(), optax.scale(-0.05))
+    tx32 = optax.chain(optax.scale_by_adam(), optax.scale(-0.05))
+    s8, s32 = tx8.init(params8), tx32.init(params32)
+
+    for _ in range(60):
+        g8 = jax.grad(loss_fn)(params8)
+        u8, s8 = tx8.update(g8, s8, params8)
+        params8 = optax.apply_updates(params8, u8)
+
+        g32 = jax.grad(loss_fn)(params32)
+        u32, s32 = tx32.update(g32, s32, params32)
+        params32 = optax.apply_updates(params32, u32)
+
+    l8 = float(loss_fn(params8))
+    l32 = float(loss_fn(params32))
+    assert l8 < 0.1 * float(loss_fn({"w": jnp.zeros((300,)), "b": jnp.zeros((300,))}))
+    # within the same ballpark as fp32 adam
+    assert l8 < max(4 * l32, 1.0)
+
+
+def test_adam8bit_state_memory_is_int8():
+    params = {"w": jnp.zeros((1024, 64))}
+    tx = scale_by_adam_8bit()
+    state = tx.init(params)
+    assert state.mu_q["w"].dtype == jnp.int8
+    assert state.nu_q["w"].dtype == jnp.int8
+    payload_bytes = state.mu_q["w"].size + state.nu_q["w"].size
+    scale_bytes = 4 * (state.mu_s["w"].size + state.nu_s["w"].size)
+    fp32_bytes = 2 * 4 * params["w"].size
+    assert payload_bytes + scale_bytes < 0.3 * fp32_bytes
