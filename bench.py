@@ -43,7 +43,7 @@ def main():
     BATCH = int(os.environ.get("SSDT_BENCH_BATCH", 8))
     LATENT = 64  # 512px / 8
     WARMUP = 3
-    ITERS = 20
+    ITERS = int(os.environ.get("SSDT_BENCH_ITERS", 20))
 
     if os.environ.get("SSDT_BENCH_FORCE_XLA") == "1":
         from scal_sdt_tpu.ops import attention as attention_ops
@@ -52,11 +52,12 @@ def main():
 
     config = merge(default(), Config({
         "batch_size": BATCH,
-        "gradient_checkpointing": os.environ.get("SSDT_BENCH_REMAT", "1") == "1",
+        "gradient_checkpointing": {"1": True, "0": False, "high": "high"}[
+            os.environ.get("SSDT_BENCH_REMAT", "1")],
         "trainer": {"precision": "bf16", "mesh": {"data": None, "fsdp": 1}},
         "ema": {"enabled": False},
         "optimizer": {
-            "name": "adamw",
+            "name": os.environ.get("SSDT_BENCH_OPT", "adamw"),
             "params": {"lr": 2e-6, "beta1": 0.9, "beta2": 0.999,
                        "weight_decay": 1e-2, "eps": 1e-8},
             "lr_scale": {"enabled": False},
@@ -96,15 +97,20 @@ def main():
                 rng.randn(BATCH, 77, 768).astype(np.float32), bs),
         }
 
+        # Warmup absorbs both compiles and the one layout-fixpoint recompile
+        # (see training/step.py). Fetch VALUES as barriers: on remote-attached
+        # backends block_until_ready can acknowledge before execution
+        # completes; only a host transfer is a true barrier.
         for _ in range(WARMUP):
             state, metrics = step_fn(state, frozen, batch)
-        jax.block_until_ready(metrics["train_loss"])
+            float(np.asarray(metrics["train_loss"]))
 
         t0 = time.perf_counter()
         for _ in range(ITERS):
             state, metrics = step_fn(state, frozen, batch)
-        jax.block_until_ready(metrics["train_loss"])
+        loss = float(np.asarray(metrics["train_loss"]))
         dt = time.perf_counter() - t0
+        assert np.isfinite(loss), f"non-finite loss {loss}"
 
     steps_per_sec = ITERS / dt
     print(json.dumps({

@@ -167,9 +167,30 @@ class ImagePromptDataset:
             img = img.resize((w, h), Image.BICUBIC)
         return img
 
+    def _crop_fracs(self) -> tuple[float, float]:
+        if self.center_crop:
+            return 0.5, 0.5
+        return random.random(), random.random()
+
+    def _native_transform(self, path: Path, cw: int, ch: int):
+        """Whole decode+resize+crop+normalize in one native call (GIL
+        released) when the C++ pipeline is built and no augmentation is
+        configured; returns None to fall back to PIL."""
+        if self.augment is not None:
+            return None
+        from ..native import image as native_image
+
+        if not native_image.available():
+            return None
+        fx, fy = self._crop_fracs()
+        return native_image.decode_resize_crop(path, cw, ch, fx, fy)
+
     def _read_and_transform(self, path: Path, size: Size) -> np.ndarray:
-        img = read_image(path)
         dim = size[0]
+        native = self._native_transform(path, dim, dim)
+        if native is not None:
+            return native
+        img = read_image(path)
         # resize shortest side to dim (torchvision Resize(dim) semantics)
         scale = dim / min(img.size)
         img = img.resize((max(round(img.width * scale), dim),
@@ -201,6 +222,10 @@ class AspectDataset(ImagePromptDataset):
         return (max(int(round(w * scale)), w_d), max(int(round(h * scale)), h_d))
 
     def _read_and_transform(self, path: Path, size: Size) -> np.ndarray:
+        if not self.debug:
+            native = self._native_transform(path, size[0], size[1])
+            if native is not None:
+                return native
         img = read_image(path)
         w_t, h_t = self.preserve_ratio_size(img.size, size)
         img = img.resize((w_t, h_t), Image.LANCZOS)

@@ -185,17 +185,26 @@ def _upsample_nearest(x: jnp.ndarray) -> jnp.ndarray:
 
 def unet_apply(params: Params, sample: jnp.ndarray, timesteps: jnp.ndarray,
                context: jnp.ndarray, config: UNetConfig,
-               remat: bool = False) -> jnp.ndarray:
+               remat: bool | str = False) -> jnp.ndarray:
     """Denoising forward pass.
 
     sample: (B, H, W, C_in) NHWC latents; timesteps: (B,) int32;
     context: (B, L, cross_attention_dim). Returns (B, H, W, C_out).
+
+    remat: False | True | 'high'. 'high' rematerialises only the
+    highest-resolution blocks (first down / last up) — they hold most of the
+    activation memory but a minority of the FLOPs, so this recovers most of
+    full remat's memory saving at a fraction of the recompute cost.
     """
     g = config.norm_num_groups
     heads = config.num_attention_heads
+    n_down = len(config.down_block_types)
+    n_up = len(config.up_block_types)
 
-    def maybe_ckpt(fn):
-        return jax.checkpoint(fn) if remat else fn
+    def maybe_ckpt(fn, high_res: bool = False):
+        if remat is True or (remat == "high" and high_res):
+            return jax.checkpoint(fn)
+        return fn
 
     # Time embedding
     t_feat = timestep_embedding(
@@ -222,7 +231,7 @@ def unet_apply(params: Params, sample: jnp.ndarray, timesteps: jnp.ndarray,
                         params, f"down_blocks.{i}.attentions.{j}", h_, context_, heads, g)
                 return h_
 
-            h = maybe_ckpt(down_unit)(h, temb, context)
+            h = maybe_ckpt(down_unit, high_res=(i == 0))(h, temb, context)
             skips.append(h)
         if f"down_blocks.{i}.downsamplers.0.conv.weight" in params:
             h = conv2d(params, f"down_blocks.{i}.downsamplers.0.conv", h, stride=2)
@@ -251,7 +260,7 @@ def unet_apply(params: Params, sample: jnp.ndarray, timesteps: jnp.ndarray,
                         params, f"up_blocks.{i}.attentions.{j}", h_, context_, heads, g)
                 return h_
 
-            h = maybe_ckpt(up_unit)(h, skip, temb, context)
+            h = maybe_ckpt(up_unit, high_res=(i >= n_up - 2))(h, skip, temb, context)
         if f"up_blocks.{i}.upsamplers.0.conv.weight" in params:
             h = _upsample_nearest(h)
             h = conv2d(params, f"up_blocks.{i}.upsamplers.0.conv", h)

@@ -55,9 +55,15 @@ def scale_by_adam_8bit(b1: float = 0.9, b2: float = 0.999,
                        eps: float = 1e-8) -> optax.GradientTransformation:
     """Drop-in for optax.scale_by_adam with int8 blockwise moment storage."""
 
+    def _is_array(x) -> bool:
+        # optax.multi_transform masks other groups' leaves with MaskedNode
+        return hasattr(x, "shape")
+
     def init(params):
         mu_q, mu_s, nu_q, nu_s = {}, {}, {}, {}
         for k, p in params.items():
+            if not _is_array(p):
+                continue
             q, s = _quantize(jnp.zeros_like(p, dtype=jnp.float32))
             mu_q[k], mu_s[k] = q, s
             nu_q[k], nu_s[k] = q, s
@@ -70,6 +76,9 @@ def scale_by_adam_8bit(b1: float = 0.9, b2: float = 0.999,
 
         new_updates, mu_q, mu_s, nu_q, nu_s = {}, {}, {}, {}, {}
         for k, g in updates.items():
+            if not _is_array(g):
+                new_updates[k] = g
+                continue
             g32 = g.astype(jnp.float32)
             mu = _dequantize(state.mu_q[k], state.mu_s[k], g.shape)
             nu = _dequantize(state.nu_q[k], state.nu_s[k], g.shape)

@@ -57,7 +57,7 @@ class StepSpec:
     schedule: NoiseSchedule
     compute_dtype: Any
     clip_stop_at_layer: int = 1
-    remat: bool = False
+    remat: object = False     # False | True | 'high' (see unet_apply)
     uncond_enabled: bool = False
     uncond_p: float = 0.1
     uncond_mode: str = "zeros"        # 'zeros' | 'eos'
@@ -78,7 +78,9 @@ class StepSpec:
             schedule=NoiseSchedule(),
             compute_dtype=compute,
             clip_stop_at_layer=int(config.get("clip_stop_at_layer", 1)),
-            remat=bool(config.get("gradient_checkpointing", False)),
+            remat=(config.get("gradient_checkpointing", False)
+                   if config.get("gradient_checkpointing") in (True, False, "high")
+                   else bool(config.get("gradient_checkpointing"))),
             uncond_enabled=bool(config.uncond.get("enabled", False)),
             uncond_p=float(config.uncond.get("p", 0.1)),
             uncond_mode=config.uncond.get("cond", "zeros"),
@@ -165,16 +167,38 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
 
 def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
                     lr_fn, ema_enabled: bool, donate: bool = True):
-    """Build the jitted train step: (state, frozen, batch) -> (state, metrics)."""
+    """Build the train step: (state, frozen, batch) -> (state, metrics).
 
-    def train_step(state: TrainState, frozen: Params, batch: dict):
-        rng = jax.random.fold_in(state.rng, state.step)
+    Two XLA programs, dispatched back-to-back: (1) forward/backward producing
+    bf16 gradients, (2) optimizer + EMA update. Keeping them separate avoids
+    an XLA scheduling pathology where fusing the 859M-param optimizer update
+    into the UNet backward program slowed the combined step ~50x (measured:
+    grad 340 ms + update 42 ms separately vs 17 s fused on v5e); the extra
+    dispatch costs microseconds.
+    """
 
+    @jax.jit
+    def grad_step(trainable: Params, frozen: Params, batch: dict,
+                  rng: jax.Array, step: jnp.ndarray):
+        rng_i = jax.random.fold_in(rng, step)
+        # Mixed precision: differentiate wrt the bf16 compute copy, not the
+        # fp32 masters — gradients then live in bf16 (halves gradient HBM;
+        # the optimizer's moment math still runs in fp32).
+        dt = spec.compute_dtype
+        trainable_c = {
+            k: v.astype(dt) if jnp.issubdtype(v.dtype, jnp.floating) else v
+            for k, v in trainable.items()
+        }
         grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
-        (loss, metrics), grads = grad_fn(state.trainable, frozen, batch, rng, spec)
+        (loss, metrics), grads = grad_fn(trainable_c, frozen, batch, rng_i, spec)
+        return grads, metrics
 
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def update_step(state: TrainState, grads: Params):
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
-        trainable = optax.apply_updates(state.trainable, updates)
+        trainable = jax.tree.map(
+            lambda p, u: (p + u.astype(p.dtype)).astype(p.dtype),
+            state.trainable, updates)
 
         ema = state.ema
         if ema_enabled and ema is not None:
@@ -182,9 +206,7 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
                               if k.startswith(UNET_PREFIX + ".")}
             ema = ema_update(ema, unet_trainable)
 
-        metrics = dict(metrics)
-        metrics["lr"] = lr_fn(state.step)
-
+        lr = lr_fn(state.step)
         new_state = TrainState(
             step=state.step + 1,
             trainable=trainable,
@@ -192,9 +214,17 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
             ema=ema,
             rng=state.rng,
         )
-        return new_state, metrics
+        return new_state, lr
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, frozen: Params, batch: dict):
+        grads, metrics = grad_step(state.trainable, frozen, batch,
+                                   state.rng, state.step)
+        state, lr = update_step(state, grads)
+        metrics = dict(metrics)
+        metrics["lr"] = lr
+        return state, metrics
+
+    return train_step
 
 
 def init_train_state(rng: jax.Array, trainable: Params, tx: optax.GradientTransformation,
@@ -215,4 +245,6 @@ def init_train_state(rng: jax.Array, trainable: Params, tx: optax.GradientTransf
             rng=rng,
         )
 
-    return jax.jit(build)(trainable, rng)
+    # Donate the incoming trainable buffers: otherwise the caller's reference
+    # plus the state's copy double 3.4 GB of masters on a 16 GB chip.
+    return jax.jit(build, donate_argnums=(0,))(trainable, rng)

@@ -162,6 +162,7 @@ class Trainer:
         self.state = init_train_state(
             state_rng, trainable_dev, self.tx, ema_enabled,
             float(config.ema.get("decay", 0.995)))
+        del trainable_dev  # donated into the state
 
         self.ckpt = CheckpointManager(self.run_dir, config.checkpoint)
         self._writers = self._build_loggers()
