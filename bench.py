@@ -50,14 +50,17 @@ def main():
 
         attention_ops.FORCE_XLA = True
 
+    # Best measured config on v5e-1: no remat + bf16 Adam moments fits in
+    # 16 GB HBM and avoids all recompute (see PERF_NOTES.md for the matrix).
     config = merge(default(), Config({
         "batch_size": BATCH,
         "gradient_checkpointing": {"1": True, "0": False, "high": "high"}[
-            os.environ.get("SSDT_BENCH_REMAT", "1")],
+            os.environ.get("SSDT_BENCH_REMAT", "0")],
         "trainer": {"precision": "bf16", "mesh": {"data": None, "fsdp": 1}},
         "ema": {"enabled": False},
         "optimizer": {
             "name": os.environ.get("SSDT_BENCH_OPT", "adamw"),
+            "moment_dtype": os.environ.get("SSDT_BENCH_MOMENT", "bf16"),
             "params": {"lr": 2e-6, "beta1": 0.9, "beta2": 0.999,
                        "weight_decay": 1e-2, "eps": 1e-8},
             "lr_scale": {"enabled": False},

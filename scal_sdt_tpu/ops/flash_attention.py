@@ -37,9 +37,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
     dp = _round_up(d, 128)
     qp, kp, vp = _pad_last(q, dp), _pad_last(k, dp), _pad_last(v, dp)
 
+    import os
+
     lq, lk = qp.shape[2], kp.shape[2]
-    block_q = min(512, lq)
-    block_k = min(512, lk)
+    pref = int(os.environ.get("SSDT_FLASH_BLOCK", 512))
+    block_q = min(pref, lq)
+    block_k = min(pref, lk)
     sizes = BlockSizes(
         block_q=block_q, block_k_major=block_k, block_k=block_k, block_b=1,
         block_q_major_dkv=block_q, block_k_major_dkv=block_k,
