@@ -193,7 +193,9 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
         (loss, metrics), grads = grad_fn(trainable_c, frozen, batch, rng_i, spec)
         return grads, metrics
 
-    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    # grads are bf16 and every output is fp32, so donating them only buys a
+    # "donated buffers were not usable" warning — donate the state alone.
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def update_step(state: TrainState, grads: Params):
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
         trainable = jax.tree.map(

@@ -119,7 +119,6 @@ class Trainer:
         logger.info(f"Trainable tensors: {len(trainable)}, frozen: {len(frozen)}")
 
         # -- data -----------------------------------------------------------
-        use_cache = config.data.get("cache") is not None
         dataset = get_dataset(config, use_cache=True)
         sampler = get_sampler(dataset, config,
                               jax.process_count(), jax.process_index())
