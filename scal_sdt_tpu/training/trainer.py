@@ -260,6 +260,12 @@ class Trainer:
                         host["steps_per_sec"] = 1.0 / max(dt, 1e-9)
                         last_metrics = host
                         self._log(host, self.global_step)
+                        if self.global_step % max(log_every * 10, 10) == 0:
+                            logger.info(
+                                f"step {self.global_step}: "
+                                f"loss={host.get('train_loss', float('nan')):.4f} "
+                                f"lr={host.get('lr', 0):.2e} "
+                                f"{host.get('steps_per_sec', 0):.2f} steps/s")
                         if not np.isfinite(host.get("train_loss", 0.0)):
                             raise FloatingPointError(
                                 f"NaN loss at step {self.global_step}")
