@@ -65,6 +65,16 @@ def verify_config(config):
               help="Resume from this checkpoint; its run config.yaml is reloaded.")
 def main(config_path: Optional[Path], run_id: Optional[str],
          resume_ckpt_path: Optional[Path]):
+    # Multi-host slices: initialize the JAX distributed runtime when launched
+    # under a multi-process coordinator (the analogue of the reference's
+    # `trainer.num_nodes`, SURVEY.md §5.8). Single-host runs skip this.
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+
     if config_path is not None:
         config = conf.load_with_defaults(config_path)
     elif resume_ckpt_path is not None:

