@@ -76,7 +76,7 @@ def main():
     labels = group_labels(resolutions)
     overrides = {f"g{i}": g.optimizer for i, g in enumerate(resolutions["unet"].groups)}
     tx, lr_fn = build_optimizer(config, labels, overrides, steps_per_epoch=1000,
-                                num_devices=jax.device_count())
+                                num_processes=jax.process_count())
 
     from scal_sdt_tpu.models.clip import CLIPTextConfig
     from scal_sdt_tpu.models.vae import VAEConfig

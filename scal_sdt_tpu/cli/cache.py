@@ -6,6 +6,13 @@ set, written as a single safetensors file keyed ``{id}.latent.{g}`` /
 {sizes, entries, total_entries, aug_group_size} — the trainer's cache fast
 path and the reference's file format agree byte-for-byte.
 
+Multi-host: each process encodes its sampler shard, the shards are
+all-gathered (``jax.experimental.multihost_utils.process_allgather``, the
+ICI/DCN analogue of the reference's NCCL ``self.all_gather``,
+/root/reference/cache.py:25-41), and process 0 writes ONE complete cache.
+Like the reference, distributed caching requires ARB off (the per-rank batch
+shapes must line up; reference cache.py:70-76 declares the same limitation).
+
 ``--aug-group-size N`` stores N augmented latent variants per image;
 training samples one uniformly (reference cache.py:59-62 <->
 datasets.py:85-87). Same declared limitations: with ARB enabled the epoch
@@ -14,20 +21,143 @@ order is data-dependent, so augment+ARB caching is rejected.
 
 from __future__ import annotations
 
+import itertools
 import json
 import logging
-from functools import partial
 from pathlib import Path
-from typing import IO
+from typing import IO, Optional
 
 import click
 import numpy as np
 
-from ..conf import load_with_defaults
+from ..conf import Config, load_with_defaults
 from ..data.pipeline import DataPipeline, get_dataset, get_sampler
 from ..utils.state import save_state_dict
 
 logger = logging.getLogger("cache")
+
+
+def build_local_shard(config: Config, models, tokenizer, *,
+                      no_conds: bool, aug_group_size: int, batch_size: int,
+                      world_size: int, global_rank: int) -> dict:
+    """Encode this process's dataset shard.
+
+    Returns {'ids': (N,) int64, 'latents': (G, N, h, w, c) f32,
+    'conds': (N, L, D) f32 or None}. N is truncated to the common
+    across-rank batch count so multi-host all-gathers line up.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.clip import clip_text_apply
+    from ..models.vae import encoder_apply, sample_latents
+
+    dataset = get_dataset(config, use_cache=False)
+    sampler = get_sampler(dataset, config, world_size, global_rank)
+    pipeline = DataPipeline(dataset, sampler, batch_size, tokenizer,
+                            num_workers=config.get("num_workers") or 4)
+
+    # Every rank must contribute the same number of batches or the gather
+    # deadlocks: truncate to the smallest shard's batch count.
+    n_batches = (len(dataset) // world_size) // batch_size if world_size > 1 \
+        else len(pipeline)
+    if n_batches == 0:
+        raise ValueError(
+            f"Dataset of {len(dataset)} images yields no full batches of "
+            f"{batch_size} across {world_size} processes")
+
+    vae_params = {k: jnp.asarray(v) for k, v in models.vae.items()}
+    clip_params = {k: jnp.asarray(v) for k, v in models.clip.items()}
+    stop_at_layer = int(config.get("clip_stop_at_layer", 1))
+
+    @jax.jit
+    def encode_latents(images, rng):
+        moments = encoder_apply(vae_params, images, models.vae_config)
+        return sample_latents(moments, rng, models.vae_config.scaling_factor)
+
+    @jax.jit
+    def encode_conds(input_ids):
+        return clip_text_apply(clip_params, input_ids, models.clip_config,
+                               stop_at_layer)
+
+    rng = jax.random.PRNGKey(int(config.get("seed") or 0))
+    groups: list[np.ndarray] = []
+    ids: Optional[np.ndarray] = None
+    conds: Optional[np.ndarray] = None
+    for group in range(aug_group_size):
+        lat_batches, id_batches, cond_batches = [], [], []
+        for batch in itertools.islice(iter(pipeline), n_batches):
+            rng, sub = jax.random.split(rng)
+            lat_batches.append(
+                np.asarray(encode_latents(jnp.asarray(batch["images"]), sub)))
+            id_batches.append(np.asarray(batch["ids"], np.int64))
+            if group == 0 and not no_conds and "input_ids" in batch:
+                cond_batches.append(
+                    np.asarray(encode_conds(jnp.asarray(batch["input_ids"]))))
+        group_ids = np.concatenate(id_batches)
+        if ids is None:
+            ids = group_ids
+        elif not np.array_equal(ids, group_ids):
+            raise AssertionError("Sampler order changed between aug groups")
+        groups.append(np.concatenate(lat_batches))
+        if cond_batches:
+            conds = np.concatenate(cond_batches)
+
+    return {"ids": ids, "latents": np.stack(groups), "conds": conds}
+
+
+def merge_shards(shard: dict, world_size: int, allgather=None) -> dict:
+    """All-gather per-rank shards into the full (ids, latents, conds).
+
+    ``allgather`` maps an array to a (world, ...)-stacked array; defaults to
+    ``multihost_utils.process_allgather``. Identity for world_size == 1.
+    """
+    if world_size <= 1:
+        return shard
+    if allgather is None:
+        from jax.experimental.multihost_utils import process_allgather
+
+        allgather = process_allgather
+
+    ids = np.asarray(allgather(shard["ids"]))              # (P, N)
+    latents = np.asarray(allgather(shard["latents"]))      # (P, G, N, ...)
+    out = {
+        "ids": ids.reshape(-1),
+        "latents": np.concatenate(
+            [latents[p] for p in range(latents.shape[0])], axis=1),
+        "conds": None,
+    }
+    if shard["conds"] is not None:
+        conds = np.asarray(allgather(shard["conds"]))      # (P, N, L, D)
+        out["conds"] = conds.reshape(-1, *conds.shape[2:])
+    return out
+
+
+def assemble_cache(merged: dict) -> tuple[dict, dict]:
+    """(tensors, metadata) in the reference's exact file schema."""
+    ids = merged["ids"]
+    latents = merged["latents"]   # (G, N, h, w, c)
+    conds = merged["conds"]
+    aug_group_size = latents.shape[0]
+
+    cache: dict[str, np.ndarray] = {}
+    sizes: dict[str, list] = {}
+    for group in range(aug_group_size):
+        for i, id_ in enumerate(ids):
+            key = f"{int(id_)}.latent.{group}"
+            cache[key] = latents[group, i]
+            sizes[key] = list(latents[group, i].shape)
+    if conds is not None:
+        for i, id_ in enumerate(ids):
+            cache[f"{int(id_)}.cond"] = conds[i]
+
+    metadata = {
+        "sizes": sizes,
+        "entries": sorted({int(i) for i in ids}),
+        "total_entries": len(ids),
+        "aug_group_size": aug_group_size,
+    }
+    return cache, metadata
 
 
 @click.command()
@@ -42,11 +172,8 @@ logger = logging.getLogger("cache")
 def main(config_file: IO[str], no_conds: bool, aug_group_size: int, batch_size: int):
     """Generate the latent/condition cache at config entry data.cache."""
     import jax
-    import jax.numpy as jnp
 
     from ..convert.loader import load_components
-    from ..models.clip import clip_text_apply
-    from ..models.vae import encoder_apply, sample_latents
     from ..text.tokenizer import resolve_tokenizer
 
     config = load_with_defaults(config_file)
@@ -55,75 +182,42 @@ def main(config_file: IO[str], no_conds: bool, aug_group_size: int, batch_size: 
     if config.data.get("cache") is None:
         raise click.UsageError("data.cache is not set")
 
+    arb = config.aspect_ratio_bucket.get("enabled", False)
     if config.get("augment") is None:
         if aug_group_size != 1:
             logger.warning("Augmentation not enabled; forcing aug group size 1")
             aug_group_size = 1
-    elif config.aspect_ratio_bucket.get("enabled", False):
+    elif arb:
         raise click.UsageError(
             "Caching is incompatible with ARB + augmentation together "
             "(ARB batch entry order is random)")
 
+    world = jax.process_count()
+    if world > 1 and arb:
+        raise click.UsageError(
+            "Distributed caching requires ARB off (per-rank batch shapes "
+            "must align; the reference declares the same limitation)")
+
     models = load_components(config)
-    tokenizer = resolve_tokenizer(config)
+    tokenizer = resolve_tokenizer(config, allow_hash=no_conds)
 
-    dataset = get_dataset(config, use_cache=False)
-    sampler = get_sampler(dataset, config, jax.process_count(), jax.process_index())
-    pipeline = DataPipeline(dataset, sampler, batch_size, tokenizer,
-                            num_workers=config.get("num_workers") or 4)
+    shard = build_local_shard(
+        config, models, tokenizer, no_conds=no_conds,
+        aug_group_size=aug_group_size, batch_size=batch_size,
+        world_size=world, global_rank=jax.process_index())
+    merged = merge_shards(shard, world)
 
-    vae_params = {k: jnp.asarray(v) for k, v in models.vae.items()}
-    clip_params = {k: jnp.asarray(v) for k, v in models.clip.items()}
-    stop_at_layer = int(config.get("clip_stop_at_layer", 1))
+    if jax.process_index() != 0:
+        logger.info("Non-zero process: shard contributed, rank 0 writes")
+        return
 
-    @partial(jax.jit, static_argnames=())
-    def encode_latents(images, rng):
-        moments = encoder_apply(vae_params, images, models.vae_config)
-        return sample_latents(moments, rng, models.vae_config.scaling_factor)
-
-    @jax.jit
-    def encode_conds(input_ids):
-        return clip_text_apply(clip_params, input_ids, models.clip_config, stop_at_layer)
-
-    cache: dict[str, np.ndarray] = {}
-    sizes: dict[str, list] = {}
-    ids: set = set()
-    entry_count = 0
-    rng = jax.random.PRNGKey(int(config.get("seed") or 0))
-
-    for group in range(aug_group_size):
-        entry_count = 0
-        for batch in pipeline:
-            rng, sub = jax.random.split(rng)
-            latents = np.asarray(encode_latents(jnp.asarray(batch["images"]), sub))
-            conds = None
-            if group == 0 and not no_conds and "input_ids" in batch:
-                conds = np.asarray(encode_conds(jnp.asarray(batch["input_ids"])))
-            for i, id_ in enumerate(batch["ids"]):
-                key = f"{id_}.latent.{group}"
-                cache[key] = latents[i]
-                sizes[key] = list(latents[i].shape)
-                if conds is not None:
-                    cache[f"{id_}.cond"] = conds[i]
-                ids.add(id_)
-                entry_count += 1
-
-    for id_ in ids:
-        shapes = {tuple(v.shape) for k, v in cache.items()
-                  if k.startswith(f"{id_}.latent.")}
-        assert len(shapes) == 1, f"Inconsistent latent shapes for id {id_}"
-
-    metadata = {
-        "sizes": sizes,
-        "entries": sorted(ids),
-        "total_entries": entry_count,
-        "aug_group_size": aug_group_size,
-    }
+    cache, metadata = assemble_cache(merged)
     out = Path(config.data.cache)
     out.parent.mkdir(parents=True, exist_ok=True)
     save_state_dict(cache, out, "safetensors",
                     metadata={"json": json.dumps(metadata)})
-    logger.info(f'Saved cache ({entry_count} entries x {aug_group_size} groups) to "{out}"')
+    logger.info(f'Saved cache ({metadata["total_entries"]} entries x '
+                f'{metadata["aug_group_size"]} groups) to "{out}"')
 
 
 if __name__ == "__main__":

@@ -76,7 +76,7 @@ class NoiseSchedule:
             return noise
         if self.prediction_type == "sample":
             return x0
-        if self.prediction_type == "v":
+        if self.prediction_type in ("v", "v_prediction"):
             return self.velocity(x0, noise, t)
         raise ValueError(f"Unknown prediction type {self.prediction_type}")
 

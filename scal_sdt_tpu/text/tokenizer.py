@@ -49,7 +49,12 @@ class PromptTokenizer:
 class CLIPTokenizerWrapper(PromptTokenizer):
     def __init__(self, hf_tokenizer, max_length: Optional[int] = None):
         self.tokenizer = hf_tokenizer
-        self.max_length = max_length or hf_tokenizer.model_max_length
+        declared = hf_tokenizer.model_max_length
+        # Bare vocab dirs (no tokenizer_config.json) leave transformers'
+        # VERY_LARGE_INTEGER sentinel in place — fall back to CLIP's 77.
+        if declared is None or declared > 1_000_000:
+            declared = MODEL_MAX_LENGTH
+        self.max_length = max_length or declared
         self.vocab_size = len(hf_tokenizer)
         self._expansions: list[tuple[re.Pattern, str]] = []
 
@@ -116,18 +121,40 @@ class HashTokenizer(PromptTokenizer):
         return ids
 
 
-def resolve_tokenizer(config) -> PromptTokenizer:
-    """Resolve per the priority list in the module docstring."""
+def resolve_tokenizer(config, allow_hash: Optional[bool] = None) -> PromptTokenizer:
+    """Resolve per the priority list in the module docstring.
+
+    ``tokenizer: hash`` opts into the hashing stand-in explicitly. Otherwise,
+    when no vocab assets exist, this FAILS unless ``allow_hash`` is true
+    (the trainer passes it for cache-backed runs, where conds are precomputed
+    and prompt ids are never consumed) — silently training with hash tokens
+    would destroy text conditioning quality.
+
+    ``tokenizer_backend: transformers`` switches the vocab-file path from our
+    own CLIP-BPE (text/bpe.py) to transformers.CLIPTokenizer.
+    """
+    declared = config.get("tokenizer")
+    if str(declared).lower() == "hash":
+        logger.info("Using the hashing tokenizer (explicitly configured)")
+        return HashTokenizer()
+
     candidates = []
-    if config.get("tokenizer"):
-        candidates.append(Path(config.tokenizer))
+    if declared:
+        candidates.append(Path(str(declared)))
     model = config.get("model")
     if model and Path(str(model)).is_dir():
         candidates.append(Path(str(model)) / "tokenizer")
 
+    use_transformers = str(config.get("tokenizer_backend", "native")) == "transformers"
     for cand in candidates:
         if cand.is_dir() and (cand / "vocab.json").exists():
             logger.info(f"Loading tokenizer from {cand}")
+            if use_transformers:
+                return CLIPTokenizerWrapper.from_path(cand)
+            if (cand / "merges.txt").exists():
+                from .bpe import CLIPBPETokenizer
+
+                return CLIPBPETokenizer.from_dir(cand)
             return CLIPTokenizerWrapper.from_path(cand)
 
     if model and not Path(str(model)).exists():
@@ -139,6 +166,11 @@ def resolve_tokenizer(config) -> PromptTokenizer:
         except Exception:
             pass
 
+    if not allow_hash:
+        raise RuntimeError(
+            "No CLIP tokenizer vocab found (config.tokenizer / <model>/tokenizer) "
+            "and this run consumes prompts. Provide vocab.json/merges.txt, or set "
+            "`tokenizer: hash` to explicitly accept non-CLIP hash tokens.")
     logger.warning(
         "No CLIP tokenizer vocab found (config.tokenizer / <model>/tokenizer). "
         "Using the deterministic hashing fallback — fine for pipeline tests and "

@@ -154,16 +154,20 @@ def resolve_optim_target(optim_target: Config,
 def group_labels(resolutions: dict[str, TargetResolution]) -> dict[str, str]:
     """Map prefixed trainable param key -> group label ('g<N>').
 
-    Keys are prefixed with their component ('unet.' / 'text_encoder.'),
-    matching the training checkpoint's key namespace
-    (reference modules/model.py:378-391 stores 'unet.*' etc.).
+    Keys are prefixed with their component's checkpoint namespace prefix
+    ('unet.' / 'condition_model.encoder.'), matching the trainable param
+    dict built by the trainer (reference modules/model.py:378-391 stores
+    'unet.*' / 'condition_model.*').
     """
+    from .step import component_prefix
+
     labels: dict[str, str] = {}
     g = 0
     for comp, res in resolutions.items():
+        prefix = component_prefix(comp)
         for group in res.groups:
             label = f"g{g}"
             for k in group.keys:
-                labels[f"{comp}.{k}"] = label
+                labels[f"{prefix}.{k}"] = label
             g += 1
     return labels

@@ -7,9 +7,13 @@ train state), so optimizer state is allocated for trainable keys only — the
 pytree analogue of the reference's requires_grad partition, and what makes
 LoRA runs take KB of optimizer HBM instead of GB.
 
-Effective-batch LR scaling reproduces modules/model.py:44-62 exactly:
-``coeff = accumulate * batch_size * num_devices`` ('sqrt' or 'linear'),
-group lr multiplied by coeff and weight decay divided by it.
+Effective-batch LR scaling reproduces modules/model.py:44-62 in spirit:
+the reference computes ``accumulate * batch_size * nodes * devices`` because
+its batch_size is per-GPU. Here ``config.batch_size`` is per-*process* (the
+pipeline delivers one such batch per process, sharded over the local data
+axis), so the actual global batch is ``accumulate * batch_size *
+process_count`` — that is the coefficient used ('sqrt' or 'linear'), group lr
+multiplied by it and weight decay divided by it.
 
 Optimizer names accept both our short names and the reference's torch /
 bitsandbytes dotted names ('torch.optim.AdamW', 'bitsandbytes.optim.AdamW8bit'
@@ -34,13 +38,16 @@ _ADAM_NAMES = {"adam", "torch.optim.adam"}
 _SGD_NAMES = {"sgd", "torch.optim.sgd"}
 
 
-def lr_scale_coeff(config: Config, num_devices: int) -> float:
-    """Effective-batch LR scaling coefficient (reference modules/model.py:44-62)."""
+def lr_scale_coeff(config: Config, num_processes: int) -> float:
+    """Effective-batch LR scaling coefficient (reference modules/model.py:44-62).
+
+    ``num_processes`` — not local device count — because batch_size is
+    per-process here (see module docstring)."""
     lr_scale = config.optimizer.lr_scale
     if not lr_scale.get("enabled", False):
         return 1.0
     accumulate = int(config.trainer.get("accumulate_grad_batches", 1) or 1)
-    coeff = accumulate * int(config.batch_size) * num_devices
+    coeff = accumulate * int(config.batch_size) * num_processes
     method = lr_scale.get("method", "sqrt")
     if method == "sqrt":
         return math.sqrt(coeff)
@@ -104,6 +111,54 @@ def scale_by_adam_low_memory(b1: float, b2: float, eps: float,
     return optax.GradientTransformation(init, update)
 
 
+def gradient_accumulation(inner: optax.GradientTransformation,
+                          k: int) -> optax.GradientTransformation:
+    """Accumulate k micro-step grads in fp32, apply `inner` every k-th step.
+
+    Replaces optax.MultiSteps (used in round 1), which computes the full
+    inner (Adam) update on EVERY micro-step and discards k-1 of them via
+    jnp.where — here ``lax.cond`` skips that compute entirely on non-emit
+    steps. Accumulation is an fp32 running sum regardless of gradient dtype
+    (bf16 grads from the mixed-precision backward), averaged at emit — the
+    reference accumulates fp32 grads (modules/model.py trainer
+    accumulate_grad_batches), so precision matches.
+
+    The inner transformation's own step count (scale_by_schedule, Adam bias
+    correction) advances only on emit — i.e. schedules count OPTIMIZER steps,
+    like the reference's per-optimizer-step scheduler
+    (/root/reference/modules/model.py:417-418).
+    """
+    import jax
+    from jax import lax
+
+    def init(params):
+        acc = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        return (jnp.zeros([], jnp.int32), inner.init(params), acc)
+
+    def update(updates, state, params=None):
+        mini, inner_state, acc = state
+        acc = jax.tree.map(lambda a, g: a + g.astype(jnp.float32), acc, updates)
+        emit = mini == (k - 1)
+
+        def do_emit(args):
+            inner_state, acc = args
+            mean = jax.tree.map(lambda a: a / float(k), acc)
+            out, new_inner = inner.update(mean, inner_state, params)
+            zeros = jax.tree.map(jnp.zeros_like, acc)
+            return out, new_inner, zeros
+
+        def do_skip(args):
+            inner_state, acc = args
+            zeros_out = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                                     acc)
+            return zeros_out, inner_state, acc
+
+        out, inner_state, acc = lax.cond(emit, do_emit, do_skip, (inner_state, acc))
+        return out, ((mini + 1) % k, inner_state, acc)
+
+    return optax.GradientTransformation(init, update)
+
+
 def _group_transform(name: str, lr: float, betas: tuple[float, float], eps: float,
                      weight_decay: float, schedule: Schedule,
                      moment_dtype: Optional[str] = None) -> optax.GradientTransformation:
@@ -142,7 +197,7 @@ def build_optimizer(config: Config,
                     labels: dict[str, str],
                     group_overrides: dict[str, dict],
                     steps_per_epoch: int,
-                    num_devices: int) -> tuple[optax.GradientTransformation, Callable]:
+                    num_processes: int) -> tuple[optax.GradientTransformation, Callable]:
     """Build the full gradient transformation for the trainable flat dict.
 
     `labels`: trainable param key -> group label.
@@ -153,7 +208,7 @@ def build_optimizer(config: Config,
     logging (reference logs `lr` each step, modules/model.py:344-347).
     """
     base = _base_hparams(config)
-    coeff = lr_scale_coeff(config, num_devices)
+    coeff = lr_scale_coeff(config, num_processes)
     moment_dtype = config.optimizer.get("moment_dtype")
 
     transforms = {}
@@ -176,6 +231,13 @@ def build_optimizer(config: Config,
 
     accumulate = int(config.trainer.get("accumulate_grad_batches", 1) or 1)
     if accumulate > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+        tx = gradient_accumulation(tx, accumulate)
+        # the applied schedule counts optimizer steps (see
+        # gradient_accumulation); report the same thing for logging
+        if first_lr_fn is not None:
+            inner_lr_fn = first_lr_fn
+
+            def first_lr_fn(step, _f=inner_lr_fn, _k=accumulate):
+                return _f(step // _k)
 
     return tx, (first_lr_fn or (lambda step: jnp.asarray(0.0)))

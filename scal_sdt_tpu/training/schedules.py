@@ -50,8 +50,11 @@ def build_base_schedule(name: str, params: dict, steps_per_epoch: int,
     spe = float(max(steps_per_epoch, 1))
 
     if name == "constant":
-        factor = float(params.get("factor", 1.0))
-        total_iters = float(params.get("total_iters", 0))
+        # torch ConstantLR defaults: the reference's default config invokes
+        # ConstantLR with empty params {}, which holds lr/3 for the first 5
+        # (fractional) epochs — reproduce that (ADVICE r1 low).
+        factor = float(params.get("factor", 1.0 / 3))
+        total_iters = float(params.get("total_iters", 5))
 
         def constant(step):
             epoch = step / spe

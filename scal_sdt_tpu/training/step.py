@@ -68,14 +68,19 @@ class StepSpec:
     @classmethod
     def from_config(cls, config: Config, unet_config: UNetConfig,
                     clip_config: CLIPTextConfig, vae_config: VAEConfig,
-                    train_text_encoder: bool) -> "StepSpec":
+                    train_text_encoder: bool,
+                    schedule: Optional[NoiseSchedule] = None) -> "StepSpec":
         precision = config.trainer.get("precision", "bf16")
         compute = jnp.float32 if str(precision) == "32" else jnp.bfloat16
         return cls(
             unet_config=unet_config,
             clip_config=clip_config,
             vae_config=vae_config,
-            schedule=NoiseSchedule(),
+            # The loaded scheduler config decides the training target
+            # (epsilon/sample/v) and beta range — reference
+            # modules/model.py:306-314 reads prediction_type from the
+            # pipeline's scheduler, so a v-prediction model must train v here.
+            schedule=schedule if schedule is not None else NoiseSchedule(),
             compute_dtype=compute,
             clip_stop_at_layer=int(config.get("clip_stop_at_layer", 1)),
             remat=(config.get("gradient_checkpointing", False)

@@ -64,7 +64,13 @@ class Trainer:
             models = load_components(config)
         self.models = models
 
-        self.tokenizer = tokenizer if tokenizer is not None else resolve_tokenizer(config)
+        if tokenizer is not None:
+            self.tokenizer = tokenizer
+        else:
+            # Cache-backed runs never consume prompt ids (conds are
+            # precomputed), so the hash stand-in is harmless there.
+            self.tokenizer = resolve_tokenizer(
+                config, allow_hash=bool(config.data.get("cache")))
 
         # `xformers: false` in the reference disables memory-efficient
         # attention; here it disables the Pallas flash-attention path.
@@ -140,7 +146,7 @@ class Trainer:
                 overrides[f"g{g}"] = group.optimizer
                 g += 1
         self.tx, self.lr_fn = build_optimizer(
-            config, labels, overrides, steps_per_epoch, jax.device_count())
+            config, labels, overrides, steps_per_epoch, jax.process_count())
 
         # -- mesh + placement ----------------------------------------------
         self.mesh = mesh_from_config(config.trainer)
@@ -151,7 +157,7 @@ class Trainer:
         # -- step -----------------------------------------------------------
         self.spec = StepSpec.from_config(
             config, models.unet_config, models.clip_config, models.vae_config,
-            self.train_text_encoder)
+            self.train_text_encoder, schedule=models.schedule)
         ema_enabled = bool(config.ema.get("enabled", False))
         self.train_step = make_train_step(
             self.spec, self.tx, self.lr_fn, ema_enabled,

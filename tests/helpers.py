@@ -36,6 +36,68 @@ def tiny_models(seed: int = 0, vocab_size: int = 49408) -> LoadedModels:
     )
 
 
+def write_diffusers_dir(models: LoadedModels, path: Path,
+                        scheduler_overrides: dict | None = None) -> Path:
+    """Write LoadedModels out as a diffusers-layout directory, so tests can
+    exercise the real load path (convert/loader.load_diffusers_dir) including
+    scheduler_config.json -> NoiseSchedule wiring."""
+    import json
+
+    from scal_sdt_tpu.utils.state import save_state_dict
+
+    path = Path(path)
+    u, v, c = models.unet_config, models.vae_config, models.clip_config
+    spec = {
+        "unet": (models.unet, {
+            "in_channels": u.in_channels, "out_channels": u.out_channels,
+            "block_out_channels": list(u.block_out_channels),
+            "layers_per_block": u.layers_per_block,
+            "num_attention_heads": u.num_attention_heads,
+            "cross_attention_dim": u.cross_attention_dim,
+            "down_block_types": list(u.down_block_types),
+            "up_block_types": list(u.up_block_types),
+            "norm_num_groups": u.norm_num_groups,
+            "sample_size": u.sample_size,
+        }),
+        "vae": (models.vae, {
+            "in_channels": v.in_channels, "out_channels": v.out_channels,
+            "latent_channels": v.latent_channels,
+            "block_out_channels": list(v.block_out_channels),
+            "layers_per_block": v.layers_per_block,
+            "norm_num_groups": v.norm_num_groups,
+            "scaling_factor": v.scaling_factor,
+        }),
+        "text_encoder": (models.clip, {
+            "vocab_size": c.vocab_size, "hidden_size": c.hidden_size,
+            "intermediate_size": c.intermediate_size,
+            "num_hidden_layers": c.num_hidden_layers,
+            "num_attention_heads": c.num_attention_heads,
+            "max_position_embeddings": c.max_position_embeddings,
+        }),
+    }
+    for comp, (state, cfg) in spec.items():
+        d = path / comp
+        d.mkdir(parents=True, exist_ok=True)
+        save_state_dict({k: np.asarray(val) for k, val in state.items()},
+                        d / "diffusion_pytorch_model.safetensors")
+        (d / "config.json").write_text(json.dumps(cfg))
+    sched_dir = path / "scheduler"
+    sched_dir.mkdir(parents=True, exist_ok=True)
+    sched = {
+        "num_train_timesteps": models.schedule.num_train_timesteps,
+        "beta_start": models.schedule.beta_start,
+        "beta_end": models.schedule.beta_end,
+        "beta_schedule": models.schedule.beta_schedule,
+        "prediction_type": models.schedule.prediction_type,
+        "steps_offset": models.schedule.steps_offset,
+        "clip_sample": models.schedule.clip_sample,
+        "set_alpha_to_one": models.schedule.set_alpha_to_one,
+    }
+    sched.update(scheduler_overrides or {})
+    (sched_dir / "scheduler_config.json").write_text(json.dumps(sched))
+    return path
+
+
 def make_image_dataset(tmp_path: Path, n: int = 8, size=(64, 48)) -> Path:
     """Write n small PNGs with .txt captions."""
     from PIL import Image

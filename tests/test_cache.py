@@ -68,7 +68,8 @@ def test_cache_builder_cli_roundtrip(tmp_path, monkeypatch):
 
     models = tiny_models()
     monkeypatch.setattr(loader_mod, "load_components", lambda config: models)
-    monkeypatch.setattr(tok_mod, "resolve_tokenizer", lambda config: HashTokenizer())
+    monkeypatch.setattr(tok_mod, "resolve_tokenizer",
+                        lambda config, **kw: HashTokenizer())
 
     result = CliRunner().invoke(
         cache_cli.main, ["--config", str(cfg_path), "--batch-size", "2"])
@@ -79,3 +80,53 @@ def test_cache_builder_cli_roundtrip(tmp_path, monkeypatch):
     # tiny VAE downsamples 32 -> 16
     assert cache.latent(0, 0).shape == (16, 16, 4)
     assert cache.cond(0).shape == (77, 32)
+
+
+def test_multihost_cache_gather(tmp_path):
+    """Two process shards merge into ONE complete cache written by rank 0
+    (reference all-gathers latents/ids, /root/reference/cache.py:25-41;
+    round 1 wrote per-process partial caches to the same path)."""
+    import jax.numpy as jnp
+
+    from scal_sdt_tpu.cli.cache import assemble_cache, build_local_shard, merge_shards
+    from scal_sdt_tpu.models.clip import clip_text_apply
+
+    data = make_image_dataset(tmp_path, n=8)
+    cfg = tiny_config(data, tmp_path / "out")
+    models = tiny_models()
+    tokenizer = HashTokenizer()
+
+    shards = [
+        build_local_shard(cfg, models, tokenizer, no_conds=False,
+                          aug_group_size=1, batch_size=2,
+                          world_size=2, global_rank=r)
+        for r in range(2)
+    ]
+    # ranks own disjoint stride slices of the id space
+    assert sorted(np.concatenate([s["ids"] for s in shards]).tolist()) == list(range(8))
+
+    # emulate process_allgather: stack this rank's array with the peer's
+    def fake_allgather(arr, _shards=shards, _rank=[0]):
+        key = next(k for k, v in _shards[0].items()
+                   if v is not None and np.asarray(v).shape == np.asarray(arr).shape
+                   and np.array_equal(np.asarray(v), np.asarray(arr)))
+        return np.stack([np.asarray(s[key]) for s in _shards])
+
+    merged = merge_shards(shards[0], world_size=2, allgather=fake_allgather)
+    cache, meta = assemble_cache(merged)
+
+    assert meta["entries"] == list(range(8))
+    assert meta["total_entries"] == 8
+    for i in range(8):
+        assert f"{i}.latent.0" in cache
+        assert f"{i}.cond" in cache
+        assert cache[f"{i}.latent.0"].shape == (16, 16, 4)
+
+    # conds are deterministic: must equal a direct CLIP encode of the prompt
+    ids_r1 = shards[1]["ids"]
+    direct = np.asarray(clip_text_apply(
+        {k: jnp.asarray(v) for k, v in models.clip.items()},
+        jnp.asarray(tokenizer([f"a photo number {int(ids_r1[0])}"])),
+        models.clip_config, 1))
+    np.testing.assert_allclose(cache[f"{int(ids_r1[0])}.cond"], direct[0],
+                               rtol=2e-5, atol=2e-5)

@@ -41,14 +41,17 @@ def _config(lr_scale_enabled=True, method="sqrt", accumulate=1, batch=4):
 
 
 def test_lr_scale_coeff_matches_reference():
-    """coeff = accumulate * batch * devices; sqrt or linear
-    (reference modules/model.py:44-62)."""
+    """coeff = accumulate * (per-process) batch * processes; sqrt or linear.
+
+    The reference scales by its per-GPU batch * world size
+    (modules/model.py:44-62); our batch_size is per-process so the world
+    factor is process_count (ADVICE r1 medium)."""
     cfg = _config(True, "sqrt", accumulate=2, batch=4)
-    assert lr_scale_coeff(cfg, num_devices=8) == np.sqrt(2 * 4 * 8)
+    assert lr_scale_coeff(cfg, num_processes=8) == np.sqrt(2 * 4 * 8)
     cfg = _config(True, "linear", accumulate=1, batch=2)
-    assert lr_scale_coeff(cfg, num_devices=4) == 8
+    assert lr_scale_coeff(cfg, num_processes=4) == 8
     cfg = _config(False)
-    assert lr_scale_coeff(cfg, num_devices=8) == 1.0
+    assert lr_scale_coeff(cfg, num_processes=8) == 1.0
 
 
 def test_cosine_schedule_matches_torch_formula():
