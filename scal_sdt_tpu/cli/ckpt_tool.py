@@ -76,9 +76,15 @@ def main():
 @click.option("--overwrite", is_flag=True)
 @click.option("--format", "fmt", type=click.Choice(SUPPORTED_FORMATS), default=None)
 @click.option("--ema", is_flag=True, help="Use EMA weights.")
+@click.option("--pristine-te", type=str, default=None,
+              help="Pristine CLIP text-encoder source (diffusers text_encoder "
+                   "dir, transformers dir, or weights file) used when the "
+                   "checkpoint has no TE weights. Defaults to the local "
+                   "transformers cache of openai/clip-vit-large-patch14.")
 def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
           text_encoder_dtype: str, vae: Optional[Path], df_vae: Optional[str],
-          vae_dtype: str, overwrite: bool, fmt: Optional[str], ema: bool):
+          vae_dtype: str, overwrite: bool, fmt: Optional[str], ema: bool,
+          pristine_te: Optional[str]):
     """Convert a training checkpoint for CompVis/StabilityAI LDM codebases."""
     check_overwrite(output, overwrite)
     assert not (vae and df_vae), "Only one of --vae / --df-vae may be given"
@@ -119,14 +125,53 @@ def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
         te_state = replace_prefix(state, TE_CKPT_PREFIX, "cond_stage_model.transformer.")
         te_state = {k: v for k, v in te_state.items() if ".lora_" not in k}
         if not te_state:
-            logger.warning("Checkpoint has no text-encoder weights; skipping "
-                           "(the reference falls back to pristine CLIP-L, which "
-                           "requires network access unavailable here)")
-        else:
-            ldm_state.update(cast_type(te_state, text_encoder_dtype))
+            # Reference falls back to pristine CLIP-L when the checkpoint has
+            # no TE weights (/root/reference/ckpt_tool.py:128-133).
+            te_state = _pristine_clip_state(pristine_te)
+            te_state = replace_prefix(te_state, "", "cond_stage_model.transformer.")
+            logger.info("Checkpoint has no text-encoder weights; using pristine CLIP-L")
+        ldm_state.update(cast_type(te_state, text_encoder_dtype))
 
     save_state_dict(ldm_state, output, fmt)
     logger.info(f"Wrote {len(ldm_state)} tensors to {output}")
+
+
+def _pristine_clip_state(source: Optional[str]) -> dict:
+    """Pristine CLIP-L text-model state in transformers naming
+    (``text_model.*``), from a local dir/file or the transformers cache.
+
+    Offline stand-in for the reference's
+    ``CLIPTextModel.from_pretrained(CLIP_L)`` fallback
+    (/root/reference/ckpt_tool.py:128-133)."""
+    if source is not None:
+        src = Path(source)
+        if src.is_dir():
+            from ..convert.loader import _find_weights_file
+
+            if (src / "text_encoder").is_dir():
+                src = src / "text_encoder"
+            state = load_state_dict(_find_weights_file(src))
+        else:
+            state = load_state_dict(src)
+    else:
+        try:
+            import torch
+            from transformers import CLIPTextModel
+
+            model = CLIPTextModel.from_pretrained(
+                "openai/clip-vit-large-patch14", local_files_only=True)
+            with torch.no_grad():
+                state = {k: v.numpy() for k, v in model.state_dict().items()}
+        except Exception as e:
+            raise click.ClickException(
+                "Checkpoint has no text-encoder weights and no pristine CLIP-L "
+                "is available offline; pass --pristine-te with a local "
+                f"text-encoder dir or weights file ({e})")
+    state = {k: v for k, v in state.items()
+             if not k.endswith("position_ids") and ".lora_" not in k}
+    if not any(k.startswith("text_model.") for k in state):
+        state = {f"text_model.{k}": v for k, v in state.items()}
+    return state
 
 
 def to_kohya_format(state: dict, prefix: str, fallback_alpha=None) -> dict:

@@ -90,6 +90,15 @@ def main(config_path: Optional[Path], run_id: Optional[str],
     verify_config(config)
     logger.info(f"Run ID: {run_id}")
 
+    # Auto batch-size tuning (reference trainer.tune(), train.py:127-130:
+    # skipped when resuming). Runs BEFORE this process touches the TPU so
+    # each subprocess trial gets a clean device.
+    if (resume_ckpt_path is None and config_path is not None
+            and config.trainer.get("auto_scale_batch_size", False)):
+        from ..training.tuner import tune_batch_size
+
+        config.batch_size = tune_batch_size(config, config_path)
+
     trainer = Trainer(config, run_dir)
     if resume_ckpt_path is not None:
         trainer.resume(resume_ckpt_path)

@@ -170,18 +170,69 @@ def convert_unet_state_df_to_ldm(state: dict, config: UNetConfig = UNetConfig.sd
     return {name_map[k]: v for k, v in state.items()}
 
 
-def convert_unet_state_ldm_to_df(state: dict, config: UNetConfig = UNetConfig.sd15()) -> dict:
+def split_fused_qkv(state: dict, num_head_channels: int = 8) -> dict:
+    """Normalize legacy CompVis AttentionBlock tensors in an LDM UNet state.
+
+    Very old CompVis checkpoints store spatial attention as a single fused
+    ``<block>.qkv.{weight,bias}`` (1x1 conv, head-interleaved q/k/v rows) plus
+    a conv ``proj_out``. The reference splits these per-head and converts the
+    1-D convs to linears (``/root/reference/modules/convert/sd_to_diffusers.py:124-172``).
+    Same math here: reshape to (heads, 3*ch_per_head, ...), split the second
+    axis into thirds, flatten back.
+    """
+    out = {}
+    for k, v in state.items():
+        if k.endswith("qkv.weight") or k.endswith("qkv.bias"):
+            arr = np.asarray(v)
+            three_c = arr.shape[0]
+            channels = three_c // 3
+            num_heads = three_c // num_head_channels // 3
+            per_head = channels // num_heads
+            interleaved = arr.reshape((num_heads, 3 * per_head) + arr.shape[1:])
+            q = interleaved[:, :per_head]
+            kk = interleaved[:, per_head:2 * per_head]
+            vv = interleaved[:, 2 * per_head:]
+            target = (-1, channels) if arr.ndim == 3 else (-1,)
+            base = k[: -len("qkv.weight")] if k.endswith(".weight") else k[: -len("qkv.bias")]
+            leaf = "weight" if k.endswith(".weight") else "bias"
+            out[f"{base}q.{leaf}"] = q.reshape(target)
+            out[f"{base}k.{leaf}"] = kk.reshape(target)
+            out[f"{base}v.{leaf}"] = vv.reshape(target)
+        elif k.endswith("proj_out.weight") and np.asarray(v).ndim == 3:
+            # conv1d projection -> linear (reference :156-158)
+            out[k] = np.asarray(v)[:, :, 0]
+        else:
+            out[k] = v
+    return out
+
+
+def convert_unet_state_ldm_to_df(state: dict, config: UNetConfig = UNetConfig.sd15(),
+                                 strict: bool = True) -> dict:
     """LDM-layout UNet state (already stripped of 'model.diffusion_model.')
-    -> diffusers names."""
+    -> diffusers names.
+
+    ``strict`` raises on keys the map does not consume (instead of silently
+    loading an incomplete model) — e.g. a legacy AttentionBlock checkpoint
+    whose architecture doesn't match ``config``."""
     from ..models.unet import unet_param_shapes
 
+    state = split_fused_qkv(state)
     df_names = unet_param_shapes(config).keys()
     name_map = unet_name_map(config, df_names)
     inverse = {v: k for k, v in name_map.items()}
     out = {}
+    unconsumed = []
     for k, v in state.items():
         if k in inverse:
             out[inverse[k]] = v
+        else:
+            unconsumed.append(k)
+    if strict and unconsumed:
+        preview = ", ".join(sorted(unconsumed)[:8])
+        raise ValueError(
+            f"LDM UNet state has {len(unconsumed)} keys not consumed by the "
+            f"{type(config).__name__} layout (first: {preview}). The checkpoint "
+            f"architecture does not match; refusing to load it incomplete.")
     return out
 
 
@@ -198,20 +249,34 @@ def convert_vae_state_df_to_ldm(state: dict, config: VAEConfig = VAEConfig.sd15(
     return out
 
 
-def convert_vae_state_ldm_to_df(state: dict, config: VAEConfig = VAEConfig.sd15()) -> dict:
+def convert_vae_state_ldm_to_df(state: dict, config: VAEConfig = VAEConfig.sd15(),
+                                strict: bool = True) -> dict:
     from ..models.vae import vae_param_shapes
 
     df_names = vae_param_shapes(config).keys()
     name_map = vae_name_map(config, df_names)
     inverse = {v: k for k, v in name_map.items()}
     out = {}
+    unconsumed = []
     for k, v in state.items():
         if k not in inverse:
+            # standalone first-stage checkpoints ship LPIPS/discriminator
+            # training state the reference never reads
+            if not k.startswith(("loss.", "model_ema.")):
+                unconsumed.append(k)
             continue
         new = inverse[k]
+        # conv-attn -> linear (reference conv_attn_to_linear,
+        # sd_to_diffusers.py:163-172): 1x1-conv q/k/v/proj squeeze to 2D
         if "attentions" in new and new.endswith(".weight") and np.asarray(v).ndim == 4:
             v = np.asarray(v).reshape(v.shape[0], v.shape[1])
         out[new] = v
+    if strict and unconsumed:
+        preview = ", ".join(sorted(unconsumed)[:8])
+        raise ValueError(
+            f"LDM VAE state has {len(unconsumed)} keys not consumed by the "
+            f"{type(config).__name__} layout (first: {preview}); refusing to "
+            f"load it incomplete.")
     return out
 
 

@@ -43,11 +43,22 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
     pref = int(os.environ.get("SSDT_FLASH_BLOCK", 512))
     block_q = min(pref, lq)
     block_k = min(pref, lk)
+
+    # The dKV and dQ kernels have different VMEM working sets than the
+    # forward (they hold extra residuals), so their block sizes are tunable
+    # independently (default: same as forward).
+    def _env(name: str, default: int, limit: int) -> int:
+        return min(int(os.environ.get(name, default)), limit)
+
+    bq_dkv = _env("SSDT_FLASH_BLOCK_Q_DKV", pref, lq)
+    bk_dkv = _env("SSDT_FLASH_BLOCK_K_DKV", pref, lk)
+    bq_dq = _env("SSDT_FLASH_BLOCK_Q_DQ", pref, lq)
+    bk_dq = _env("SSDT_FLASH_BLOCK_K_DQ", pref, lk)
     sizes = BlockSizes(
         block_q=block_q, block_k_major=block_k, block_k=block_k, block_b=1,
-        block_q_major_dkv=block_q, block_k_major_dkv=block_k,
-        block_k_dkv=block_k, block_q_dkv=block_q,
-        block_k_major_dq=block_k, block_k_dq=block_k, block_q_dq=block_q,
+        block_q_major_dkv=bq_dkv, block_k_major_dkv=bk_dkv,
+        block_k_dkv=bk_dkv, block_q_dkv=bq_dkv,
+        block_k_major_dq=bk_dq, block_k_dq=bk_dq, block_q_dq=bq_dq,
     )
     out = _tpu_flash_attention(qp, kp, vp, causal=False, sm_scale=scale, block_sizes=sizes)
     return out[..., :d]

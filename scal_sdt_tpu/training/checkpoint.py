@@ -38,23 +38,42 @@ logger = logging.getLogger("checkpoint")
 EMA_PREFIX = "unet_ema.shadow_params."
 
 
+def _to_host(x) -> np.ndarray:
+    """Fetch a (possibly multi-host-sharded) array to host memory.
+
+    On a single host every jax.Array is fully addressable and this is a plain
+    ``np.asarray``. On multi-host pods with fsdp>1 the shards span
+    non-addressable devices, so we gather the global value first — this makes
+    the call a COLLECTIVE: every process must reach it (the reference's
+    Lightning strategy gathers implicitly before rank-0 writes)."""
+    import jax
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def checkpoint_state_dict(state: TrainState, frozen: dict) -> tuple[dict, dict]:
-    """(flat tensors, metadata) for the tool-consumable checkpoint file."""
+    """(flat tensors, metadata) for the tool-consumable checkpoint file.
+
+    Collective on multi-host meshes: call from every process."""
     tensors: dict[str, np.ndarray] = {}
     for k, v in state.trainable.items():
-        tensors[k] = np.asarray(v)
+        tensors[k] = _to_host(v)
     # stored LoRA alphas live in the frozen branch but belong in the ckpt
     # (reference registers them as buffers: modules/lora.py:24-26)
     for k, v in frozen.items():
         if k.endswith(".lora_alpha"):
-            tensors[k] = np.asarray(v)
+            tensors[k] = _to_host(v)
 
     meta = {"step": int(np.asarray(state.step))}
     if state.ema is not None:
         for k, v in state.ema.shadow.items():
             # shadow keys are relative to the UNet, like torch named_parameters()
             rel = k[len(UNET_PREFIX) + 1:] if k.startswith(UNET_PREFIX + ".") else k
-            tensors[EMA_PREFIX + rel] = np.asarray(v)
+            tensors[EMA_PREFIX + rel] = _to_host(v)
         meta["ema_decay"] = float(np.asarray(state.ema.decay))
         meta["ema_num_updates"] = int(np.asarray(state.ema.num_updates))
     return tensors, meta
@@ -62,22 +81,30 @@ def checkpoint_state_dict(state: TrainState, frozen: dict) -> tuple[dict, dict]:
 
 def save_checkpoint(path: Path, state: TrainState, frozen: dict,
                     save_train_state: bool = True):
+    """Gather (collectively) on every process; write from process 0 only."""
+    import jax
+
     path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
     tensors, meta = checkpoint_state_dict(state, frozen)
-    save_state_dict(tensors, path, metadata={"json": json.dumps(meta)})
 
+    host_extra = None
     if save_train_state:
-        import jax
-        from flax import serialization
-
         extra = {
             "opt_state": state.opt_state,
             "step": state.step,
             "rng": state.rng,
         }
-        host = jax.tree.map(lambda x: np.asarray(x), extra)
-        Path(str(path) + ".trainstate").write_bytes(serialization.to_bytes(host))
+        host_extra = jax.tree.map(_to_host, extra)
+
+    if jax.process_index() != 0:
+        return
+    path.parent.mkdir(parents=True, exist_ok=True)
+    save_state_dict(tensors, path, metadata={"json": json.dumps(meta)})
+    if host_extra is not None:
+        from flax import serialization
+
+        Path(str(path) + ".trainstate").write_bytes(
+            serialization.to_bytes(host_extra))
 
 
 def load_checkpoint_tensors(path: Path) -> tuple[dict, dict]:
@@ -142,7 +169,12 @@ def restore_train_state(path: Path, template_state: TrainState) -> TrainState:
 
 
 class CheckpointManager:
-    """Filename templating + retention (reference ModelCheckpoint knobs)."""
+    """Filename templating + retention (reference ModelCheckpoint knobs).
+
+    Best-k retention state is persisted to ``run_dir/retention.json`` so a
+    resumed run keeps pruning pre-existing checkpoints (the reference relies
+    on Lightning ModelCheckpoint's persisted best-k state restored from the
+    ``.ckpt``; ``/root/reference/train.py:103``)."""
 
     def __init__(self, run_dir: Path, config):
         self.run_dir = Path(run_dir)
@@ -153,7 +185,24 @@ class CheckpointManager:
         self.save_top_k = config.get("save_top_k", -1)
         self.monitor = config.get("monitor")
         self.mode = config.get("mode", "min")
-        self._saved: list[tuple[float, Path]] = []
+        self._saved: list[tuple[float, Path]] = self._load_retention()
+
+    @property
+    def _retention_path(self) -> Path:
+        return self.run_dir / "retention.json"
+
+    def _load_retention(self) -> list[tuple[float, Path]]:
+        try:
+            entries = json.loads(self._retention_path.read_text())
+        except (FileNotFoundError, json.JSONDecodeError):
+            return []
+        # drop entries whose files were removed out-of-band
+        return [(float(s), Path(p)) for s, p in entries if Path(p).exists()]
+
+    def _store_retention(self):
+        self._retention_path.parent.mkdir(parents=True, exist_ok=True)
+        self._retention_path.write_text(
+            json.dumps([[s, str(p)] for s, p in self._saved]))
 
     def _format_name(self, metrics: dict) -> str:
         name = self.filename
@@ -175,8 +224,14 @@ class CheckpointManager:
         return False
 
     def save(self, state: TrainState, frozen: dict, metrics: dict) -> Path:
+        """Collective on multi-host meshes (gathers shards); writes, prunes
+        and persists retention state on process 0 only."""
+        import jax
+
         path = self.run_dir / (self._format_name(metrics) + ".safetensors")
         save_checkpoint(path, state, frozen)
+        if jax.process_index() != 0:
+            return path
         logger.info(f"Saved checkpoint {path}")
 
         if self.monitor and self.save_top_k and self.save_top_k > 0:
@@ -189,4 +244,5 @@ class CheckpointManager:
                 victim.unlink(missing_ok=True)
                 Path(str(victim) + ".trainstate").unlink(missing_ok=True)
                 logger.info(f"Retention: removed {victim}")
+            self._store_retention()
         return path

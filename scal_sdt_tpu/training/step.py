@@ -46,6 +46,12 @@ class TrainState(NamedTuple):
     opt_state: Any
     ema: Optional[EMAState]           # over trainable unet params
     rng: jax.Array
+    # Persistent compute-dtype (bf16) copy of `trainable`. Refreshed inside
+    # the update program as an epilogue of the AdamW write (the masters are
+    # already streaming through the VPU there), so the grad program never
+    # pays a standalone 2x-param-bytes cast read. None under fp32 compute;
+    # built lazily by train_step when absent (fresh init or resume).
+    compute: Optional[Params] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -182,51 +188,65 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
     dispatch costs microseconds.
     """
 
-    @jax.jit
-    def grad_step(trainable: Params, frozen: Params, batch: dict,
-                  rng: jax.Array, step: jnp.ndarray):
-        rng_i = jax.random.fold_in(rng, step)
-        # Mixed precision: differentiate wrt the bf16 compute copy, not the
-        # fp32 masters — gradients then live in bf16 (halves gradient HBM;
-        # the optimizer's moment math still runs in fp32).
-        dt = spec.compute_dtype
-        trainable_c = {
+    dt = spec.compute_dtype
+    # Mixed precision: differentiate wrt a bf16 compute copy, not the fp32
+    # masters — gradients then live in bf16 (halves gradient HBM; the
+    # optimizer's moment math still runs in fp32). The copy persists in
+    # TrainState and is refreshed by the update program, so the grad program
+    # reads 2-byte weights and never pays the 4-byte master cast read.
+    use_compute = dt != jnp.float32
+
+    def _cast_compute(trainable: Params) -> Params:
+        return {
             k: v.astype(dt) if jnp.issubdtype(v.dtype, jnp.floating) else v
             for k, v in trainable.items()
         }
+
+    # The compute copy is dead after the backward (the update rebuilds it
+    # from the new masters), so donate it — its buffers become the grads'.
+    @partial(jax.jit, donate_argnums=(0,) if (donate and use_compute) else ())
+    def grad_step(compute: Params, frozen: Params, batch: dict,
+                  rng: jax.Array, step: jnp.ndarray):
+        rng_i = jax.random.fold_in(rng, step)
         grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
-        (loss, metrics), grads = grad_fn(trainable_c, frozen, batch, rng_i, spec)
+        (loss, metrics), grads = grad_fn(compute, frozen, batch, rng_i, spec)
         return grads, metrics
 
-    # grads are bf16 and every output is fp32, so donating them only buys a
-    # "donated buffers were not usable" warning — donate the state alone.
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def update_step(state: TrainState, grads: Params):
-        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+    # grads are bf16 and masters fp32, so donating grads only buys a
+    # "donated buffers were not usable" warning — donate the state parts.
+    @partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
+    def update_step(trainable: Params, opt_state, ema, step, rng, grads: Params):
+        updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = jax.tree.map(
             lambda p, u: (p + u.astype(p.dtype)).astype(p.dtype),
-            state.trainable, updates)
+            trainable, updates)
 
-        ema = state.ema
         if ema_enabled and ema is not None:
             unet_trainable = {k: v for k, v in trainable.items()
                               if k.startswith(UNET_PREFIX + ".")}
             ema = ema_update(ema, unet_trainable)
 
-        lr = lr_fn(state.step)
+        lr = lr_fn(step)
         new_state = TrainState(
-            step=state.step + 1,
+            step=step + 1,
             trainable=trainable,
             opt_state=opt_state,
             ema=ema,
-            rng=state.rng,
+            rng=rng,
+            compute=_cast_compute(trainable) if use_compute else None,
         )
         return new_state, lr
 
+    _lazy_cast = jax.jit(_cast_compute)
+
     def train_step(state: TrainState, frozen: Params, batch: dict):
-        grads, metrics = grad_step(state.trainable, frozen, batch,
-                                   state.rng, state.step)
-        state, lr = update_step(state, grads)
+        if use_compute and state.compute is None:
+            # fresh init or checkpoint resume: build the first compute copy
+            state = state._replace(compute=_lazy_cast(state.trainable))
+        src = state.compute if use_compute else state.trainable
+        grads, metrics = grad_step(src, frozen, batch, state.rng, state.step)
+        state, lr = update_step(state.trainable, state.opt_state, state.ema,
+                                state.step, state.rng, grads)
         metrics = dict(metrics)
         metrics["lr"] = lr
         return state, metrics

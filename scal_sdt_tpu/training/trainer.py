@@ -223,7 +223,8 @@ class Trainer:
                 out[k] = jax.device_put(arr, bs)
         return out
 
-    def fit(self, sample_callback=None, max_steps_override: Optional[int] = None):
+    def fit(self, sample_callback=None, max_steps_override: Optional[int] = None,
+            final_save: bool = True):
         # Preemption-safe autosave (SURVEY.md §5.3: the reference's only
         # recovery story is checkpoint/resume; we additionally checkpoint on
         # SIGTERM so TPU-VM preemptions resume exactly).
@@ -294,30 +295,30 @@ class Trainer:
                     if sample_callback is not None:
                         sample_callback(self, self.global_step)
 
+                    # _save is collective on multi-host meshes (shard gather
+                    # happens on every process; only process 0 writes), so no
+                    # process_index gating here.
                     if preempted["flag"]:
                         logger.warning(
                             f"SIGTERM received: autosaving at step {self.global_step}")
-                        if jax.process_index() == 0:
-                            self._save(epoch, last_metrics)
+                        self._save(epoch, last_metrics)
                         if prev_handler is not None:
                             signal.signal(signal.SIGTERM, prev_handler)
                         return last_metrics
 
                     if (self.ckpt.every_n_train_steps
-                            and self.global_step % int(self.ckpt.every_n_train_steps) == 0
-                            and jax.process_index() == 0):
+                            and self.global_step % int(self.ckpt.every_n_train_steps) == 0):
                         self._save(epoch, last_metrics)
 
                     if 0 < max_steps <= self.global_step:
-                        if jax.process_index() == 0:
+                        if final_save:
                             self._save(epoch, last_metrics)
                         if prev_handler is not None:
                             signal.signal(signal.SIGTERM, prev_handler)
                         return last_metrics
 
                 epoch += 1
-                if (self.ckpt.every_n_epochs and epoch % int(self.ckpt.every_n_epochs) == 0
-                        and jax.process_index() == 0):
+                if (self.ckpt.every_n_epochs and epoch % int(self.ckpt.every_n_epochs) == 0):
                     self._save(epoch, last_metrics)
 
         if prev_handler is not None:

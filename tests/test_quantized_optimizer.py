@@ -48,12 +48,12 @@ def test_adam8bit_close_to_fp32_adam_on_quadratic():
 
 
 def test_adam8bit_state_memory_is_int8():
-    params = {"w": jnp.zeros((1024, 64))}
+    params = {"w": jnp.zeros((1024, 64)), "b": jnp.zeros((100,))}
     tx = scale_by_adam_8bit()
     state = tx.init(params)
-    assert state.mu_q["w"].dtype == jnp.int8
-    assert state.nu_q["w"].dtype == jnp.int8
-    payload_bytes = state.mu_q["w"].size + state.nu_q["w"].size
-    scale_bytes = 4 * (state.mu_s["w"].size + state.nu_s["w"].size)
-    fp32_bytes = 2 * 4 * params["w"].size
+    assert state.mu_q.dtype == jnp.int8
+    assert state.nu_q.dtype == jnp.int8
+    payload_bytes = state.mu_q.size + state.nu_q.size
+    scale_bytes = 4 * (state.mu_s.size + state.nu_s.size)
+    fp32_bytes = 2 * 4 * sum(p.size for p in params.values())
     assert payload_bytes + scale_bytes < 0.3 * fp32_bytes
