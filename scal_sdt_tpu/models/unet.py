@@ -133,6 +133,11 @@ def _resnet(p: Params, pre: str, x: jnp.ndarray, temb: jnp.ndarray, groups: int)
 
 def _cross_attn(p: Params, pre: str, x: jnp.ndarray, context: jnp.ndarray,
                 num_heads: int) -> jnp.ndarray:
+    # Dense (C->C) projections + head split/merge transposes. Folding the
+    # head split into the projections (einsum 'blc,hdc->bhld') was measured
+    # 11 ms/step SLOWER: per-head matmuls with head_dim 40 minor are
+    # MXU-charged at ceil(40/128) lanes per head — a 3.2x penalty that
+    # dwarfs the relayout copies it saves. See PERF_NOTES.md.
     q = linear(p, f"{pre}.to_q", x)
     k = linear(p, f"{pre}.to_k", context)
     v = linear(p, f"{pre}.to_v", context)

@@ -28,7 +28,10 @@ FORCE_XLA = False
 
 # Pallas kernel pays off once Lq is long enough that the score matrix
 # dominates; below this XLA's fusion wins on compile simplicity.
-_PALLAS_MIN_Q_LEN = 1024
+# (env knob for on-chip tuning sweeps)
+import os
+
+_PALLAS_MIN_Q_LEN = int(os.environ.get("SSDT_PALLAS_MIN_Q", 1024))
 
 
 def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
@@ -61,7 +64,13 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         scale = float(head_dim) ** -0.5
 
     qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
+    out = _attention_core(qh, kh, vh, scale, causal)
+    return _merge_heads(out).astype(q.dtype)
 
+
+def _attention_core(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
+                    scale: float, causal: bool) -> jnp.ndarray:
+    """(B, H, L, D) attention with automatic kernel dispatch."""
     mask = None
     if causal:
         lq, lk = qh.shape[2], kh.shape[2]
@@ -79,10 +88,16 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         and jax.default_backend() == "tpu"
     )
     if use_pallas:
+        from .splash import pick_block, splash_attention
+
+        # 1024 measured best at SD1.5 shapes on v5e (512: +16 ms/step,
+        # 256: catastrophic, 2048: fails to fit). See PERF_NOTES.md.
+        pref = int(os.environ.get("SSDT_FLASH_BLOCK", 1024))
+        bq = pick_block(qh.shape[2], int(os.environ.get("SSDT_SPLASH_BQ", pref)))
+        bk = pick_block(kh.shape[2], int(os.environ.get("SSDT_SPLASH_BKV", pref)))
+        if bq is not None and bk is not None:
+            return splash_attention(qh, kh, vh, scale, bq, bk)
         from .flash_attention import flash_attention
 
-        out = flash_attention(qh, kh, vh, scale)
-    else:
-        out = _attention_xla(qh, kh, vh, scale, mask)
-
-    return _merge_heads(out).astype(q.dtype)
+        return flash_attention(qh, kh, vh, scale)
+    return _attention_xla(qh, kh, vh, scale, mask)

@@ -1,0 +1,66 @@
+"""Splash-attention wrapper: the TPU self-attention kernel for UNet shapes.
+
+Replaces the older ``flash_attention`` pallas kernel for long self-attention
+(the reference's xformers role, ``/root/reference/modules/model.py:187-188``).
+Measured on v5e at SD1.5 shapes (B8 H8 L4096 D40): splash with the UNPADDED
+head dim and the non-fused backward is ~8% faster end-to-end than the stock
+kernel at D padded to 128, and it avoids the stock wrapper's fp32
+``[B,H,L,block]`` logsumexp broadcasts (~6 ms/step) plus the explicit Q/K/V/O
+pad-and-slice traffic (head_dim 40/80 stays native; the MXU charges the same
+either way, HBM does not).
+
+The kernel object (mask layout + pallas program) is cached per static shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas.ops.tpu.splash_attention import (
+    splash_attention_kernel as _sk,
+    splash_attention_mask as _sm,
+)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_kernel(num_heads: int, q_len: int, kv_len: int, block_q: int,
+                 block_kv: int):
+    mask = _sm.MultiHeadMask([_sm.FullMask((q_len, kv_len))
+                              for _ in range(num_heads)])
+    sizes = _sk.BlockSizes(
+        block_q=block_q, block_kv=block_kv, block_kv_compute=block_kv,
+        block_q_dkv=block_q, block_kv_dkv=block_kv,
+        block_kv_dkv_compute=block_kv,
+        # separate dq/dkv kernels: the fused backward measured ~25% slower
+        # at these shapes (it serialises the dq accumulation)
+        block_q_dq=block_q, block_kv_dq=block_kv,
+        use_fused_bwd_kernel=False,
+    )
+    # The kernel pytree holds concrete mask-info arrays. Build them eagerly
+    # even when first invoked under a jit trace (the cache outlives the
+    # trace, so captured tracers would leak into later programs).
+    with jax.ensure_compile_time_eval():
+        return _sk.make_splash_mha(mask, block_sizes=sizes,
+                                   head_shards=1, q_seq_shards=1)
+
+
+def pick_block(length: int, preferred: int = 512) -> int | None:
+    """Largest power-of-two block <= preferred that divides `length`."""
+    b = preferred
+    while b >= 128:
+        if length % b == 0:
+            return b
+        b //= 2
+    return None
+
+
+def splash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     scale: float, block_q: int, block_kv: int) -> jnp.ndarray:
+    """q, k, v: (B, H, L, D) bf16/f32 -> (B, H, Lq, D). Non-causal."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    kernel = _make_kernel(h, lq, lk, block_q, block_kv)
+    qs = q * jnp.asarray(scale, q.dtype)
+    return jax.vmap(kernel)(qs, k, v)

@@ -46,12 +46,6 @@ class TrainState(NamedTuple):
     opt_state: Any
     ema: Optional[EMAState]           # over trainable unet params
     rng: jax.Array
-    # Persistent compute-dtype (bf16) copy of `trainable`. Refreshed inside
-    # the update program as an epilogue of the AdamW write (the masters are
-    # already streaming through the VPU there), so the grad program never
-    # pays a standalone 2x-param-bytes cast read. None under fp32 compute;
-    # built lazily by train_step when absent (fresh init or resume).
-    compute: Optional[Params] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,11 +183,13 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
     """
 
     dt = spec.compute_dtype
-    # Mixed precision: differentiate wrt a bf16 compute copy, not the fp32
-    # masters — gradients then live in bf16 (halves gradient HBM; the
-    # optimizer's moment math still runs in fp32). The copy persists in
-    # TrainState and is refreshed by the update program, so the grad program
-    # reads 2-byte weights and never pays the 4-byte master cast read.
+    # Mixed precision: differentiate wrt a bf16 compute copy built INSIDE the
+    # grad program, not the fp32 masters — gradients then live in bf16
+    # (halves gradient HBM; the optimizer's moment math still runs in fp32).
+    # The cast is fused by XLA into its consumers, so it costs read traffic
+    # only, never residency: a *persistent* bf16 copy was measured to add
+    # 1.7 GB steady-state and OOM the 16 GB chip at batch 8, for a ~2 ms
+    # traffic win. Transient-and-fused is the right trade.
     use_compute = dt != jnp.float32
 
     def _cast_compute(trainable: Params) -> Params:
@@ -202,18 +198,18 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
             for k, v in trainable.items()
         }
 
-    # The compute copy is dead after the backward (the update rebuilds it
-    # from the new masters), so donate it — its buffers become the grads'.
-    @partial(jax.jit, donate_argnums=(0,) if (donate and use_compute) else ())
-    def grad_step(compute: Params, frozen: Params, batch: dict,
+    @jax.jit
+    def grad_step(trainable: Params, frozen: Params, batch: dict,
                   rng: jax.Array, step: jnp.ndarray):
         rng_i = jax.random.fold_in(rng, step)
+        compute = _cast_compute(trainable) if use_compute else trainable
         grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
         (loss, metrics), grads = grad_fn(compute, frozen, batch, rng_i, spec)
         return grads, metrics
 
     # grads are bf16 and masters fp32, so donating grads only buys a
-    # "donated buffers were not usable" warning — donate the state parts.
+    # "donated buffers were not usable" warning — donate the state parts
+    # (masters/moments/EMA update in place).
     @partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
     def update_step(trainable: Params, opt_state, ema, step, rng, grads: Params):
         updates, opt_state = tx.update(grads, opt_state, trainable)
@@ -233,18 +229,12 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
             opt_state=opt_state,
             ema=ema,
             rng=rng,
-            compute=_cast_compute(trainable) if use_compute else None,
         )
         return new_state, lr
 
-    _lazy_cast = jax.jit(_cast_compute)
-
     def train_step(state: TrainState, frozen: Params, batch: dict):
-        if use_compute and state.compute is None:
-            # fresh init or checkpoint resume: build the first compute copy
-            state = state._replace(compute=_lazy_cast(state.trainable))
-        src = state.compute if use_compute else state.trainable
-        grads, metrics = grad_step(src, frozen, batch, state.rng, state.step)
+        grads, metrics = grad_step(state.trainable, frozen, batch,
+                                   state.rng, state.step)
         state, lr = update_step(state.trainable, state.opt_state, state.ema,
                                 state.step, state.rng, grads)
         metrics = dict(metrics)
