@@ -1,0 +1,250 @@
+"""Full-model loss parity: the JAX training step vs an independent torch path.
+
+BASELINE.md's acceptance metric is a training-loss match (<=1e-3) against the
+torch reference. The reference's UNet/VAE are diffusers modules
+(`/root/reference/modules/model.py:289-316`), and neither diffusers nor
+pretrained weights exist in this offline image — so the strongest available
+evidence is this module: the same architecture computed through torch's
+independent numerics (NCHW conv kernels, torch softmax/groupnorm/linear,
+fp64-capable accumulation) over the SAME flat parameter dict, diffed against
+the JAX forward and the full training loss (q-sample + UNet + MSE target).
+
+What this catches that primitive tests don't: layout mistakes (NHWC<->NCHW,
+OIHW weights), cross-layer wiring (skip order, up-block concat, time-emb
+broadcast), normalization eps placement, attention head plumbing, and the
+loss/objective assembly — i.e. every full-model failure mode that does not
+require the reference's exact pretrained weights to expose.
+
+Run: tests/test_full_model_parity.py (tiny + SD1.5-shaped configs).
+"""
+
+from __future__ import annotations
+
+import math
+
+import torch
+import torch.nn.functional as F
+
+
+def _t(params: dict, name: str) -> torch.Tensor:
+    return params[name]
+
+
+def linear(p: dict, name: str, x: torch.Tensor) -> torch.Tensor:
+    w = p[f"{name}.weight"]
+    b = p.get(f"{name}.bias")
+    return F.linear(x, w, b)
+
+
+def conv2d(p: dict, name: str, x: torch.Tensor, stride: int = 1, padding: int = 1) -> torch.Tensor:
+    """x NCHW, weight OIHW (torch-native layouts)."""
+    return F.conv2d(x, p[f"{name}.weight"], p.get(f"{name}.bias"),
+                    stride=stride, padding=padding)
+
+
+def group_norm(p: dict, name: str, x: torch.Tensor, groups: int, eps: float = 1e-5) -> torch.Tensor:
+    return F.group_norm(x, groups, p[f"{name}.weight"], p[f"{name}.bias"], eps)
+
+
+def layer_norm(p: dict, name: str, x: torch.Tensor, eps: float = 1e-5) -> torch.Tensor:
+    return F.layer_norm(x, x.shape[-1:], p[f"{name}.weight"], p[f"{name}.bias"], eps)
+
+
+def timestep_embedding(timesteps: torch.Tensor, dim: int,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       max_period: int = 10000) -> torch.Tensor:
+    half = dim // 2
+    exponent = -math.log(max_period) * torch.arange(half, dtype=torch.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = torch.exp(exponent)
+    args = timesteps.float()[:, None] * freqs[None, :]
+    sin, cos = torch.sin(args), torch.cos(args)
+    return torch.cat([cos, sin] if flip_sin_to_cos else [sin, cos], dim=-1)
+
+
+def attention(p: dict, pre: str, x: torch.Tensor, context: torch.Tensor,
+              num_heads: int) -> torch.Tensor:
+    """x (B, L, C); context (B, Lk, Cc)."""
+    q, k, v = (linear(p, f"{pre}.to_{n}", c)
+               for n, c in (("q", x), ("k", context), ("v", context)))
+    b, l, c = q.shape
+    d = c // num_heads
+
+    def split(t):
+        return t.reshape(b, -1, num_heads, d).transpose(1, 2)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    scores = torch.einsum("bhqd,bhkd->bhqk", qh, kh) * (d ** -0.5)
+    probs = torch.softmax(scores, dim=-1)
+    out = torch.einsum("bhqk,bhkd->bhqd", probs, vh)
+    out = out.transpose(1, 2).reshape(b, l, c)
+    return linear(p, f"{pre}.to_out.0", out)
+
+
+def _resnet(p: dict, pre: str, x: torch.Tensor, temb: torch.Tensor, groups: int) -> torch.Tensor:
+    h = F.silu(group_norm(p, f"{pre}.norm1", x, groups))
+    h = conv2d(p, f"{pre}.conv1", h)
+    if f"{pre}.time_emb_proj.weight" in p:
+        t = linear(p, f"{pre}.time_emb_proj", F.silu(temb))
+        h = h + t[:, :, None, None]
+    h = F.silu(group_norm(p, f"{pre}.norm2", h, groups))
+    h = conv2d(p, f"{pre}.conv2", h)
+    if f"{pre}.conv_shortcut.weight" in p:
+        x = conv2d(p, f"{pre}.conv_shortcut", x, padding=0)
+    return x + h
+
+
+def _transformer_block(p: dict, pre: str, x: torch.Tensor, context: torch.Tensor,
+                       num_heads: int) -> torch.Tensor:
+    n1 = layer_norm(p, f"{pre}.norm1", x)
+    x = x + attention(p, f"{pre}.attn1", n1, n1, num_heads)
+    x = x + attention(p, f"{pre}.attn2", layer_norm(p, f"{pre}.norm2", x),
+                      context, num_heads)
+    h = layer_norm(p, f"{pre}.norm3", x)
+    h = linear(p, f"{pre}.ff.net.0.proj", h)
+    h, gate = h.chunk(2, dim=-1)
+    h = h * F.gelu(gate)
+    return x + linear(p, f"{pre}.ff.net.2", h)
+
+
+def _spatial_transformer(p: dict, pre: str, x: torch.Tensor, context: torch.Tensor,
+                         num_heads: int, groups: int) -> torch.Tensor:
+    b, c, h, w = x.shape
+    residual = x
+    x = group_norm(p, f"{pre}.norm", x, groups, eps=1e-6)
+    x = conv2d(p, f"{pre}.proj_in", x, padding=0)
+    x = x.permute(0, 2, 3, 1).reshape(b, h * w, c)
+    i = 0
+    while f"{pre}.transformer_blocks.{i}.norm1.weight" in p:
+        x = _transformer_block(p, f"{pre}.transformer_blocks.{i}", x, context, num_heads)
+        i += 1
+    x = x.reshape(b, h, w, c).permute(0, 3, 1, 2)
+    x = conv2d(p, f"{pre}.proj_out", x, padding=0)
+    return x + residual
+
+
+@torch.no_grad()
+def unet_forward(params: dict, sample: torch.Tensor, timesteps: torch.Tensor,
+                 context: torch.Tensor, config) -> torch.Tensor:
+    """config: scal_sdt_tpu.models.unet.UNetConfig. sample NCHW."""
+    g = config.norm_num_groups
+    heads = config.num_attention_heads
+
+    t_feat = timestep_embedding(timesteps, config.block_out_channels[0],
+                                config.flip_sin_to_cos, float(config.freq_shift))
+    temb = linear(params, "time_embedding.linear_1", t_feat)
+    temb = F.silu(temb)
+    temb = linear(params, "time_embedding.linear_2", temb)
+
+    h = conv2d(params, "conv_in", sample)
+    skips = [h]
+
+    for i, block_type in enumerate(config.down_block_types):
+        has_attn = block_type == "CrossAttnDownBlock2D"
+        for j in range(config.layers_per_block):
+            h = _resnet(params, f"down_blocks.{i}.resnets.{j}", h, temb, g)
+            if has_attn:
+                h = _spatial_transformer(params, f"down_blocks.{i}.attentions.{j}",
+                                         h, context, heads, g)
+            skips.append(h)
+        if f"down_blocks.{i}.downsamplers.0.conv.weight" in params:
+            h = conv2d(params, f"down_blocks.{i}.downsamplers.0.conv", h, stride=2)
+            skips.append(h)
+
+    h = _resnet(params, "mid_block.resnets.0", h, temb, g)
+    h = _spatial_transformer(params, "mid_block.attentions.0", h, context, heads, g)
+    h = _resnet(params, "mid_block.resnets.1", h, temb, g)
+
+    for i, block_type in enumerate(config.up_block_types):
+        has_attn = block_type == "CrossAttnUpBlock2D"
+        for j in range(config.layers_per_block + 1):
+            skip = skips.pop()
+            h = torch.cat([h, skip], dim=1)
+            h = _resnet(params, f"up_blocks.{i}.resnets.{j}", h, temb, g)
+            if has_attn:
+                h = _spatial_transformer(params, f"up_blocks.{i}.attentions.{j}",
+                                         h, context, heads, g)
+        if f"up_blocks.{i}.upsamplers.0.conv.weight" in params:
+            h = F.interpolate(h, scale_factor=2.0, mode="nearest")
+            h = conv2d(params, f"up_blocks.{i}.upsamplers.0.conv", h)
+
+    h = F.silu(group_norm(params, "conv_norm_out", h, g))
+    return conv2d(params, "conv_out", h)
+
+
+# --------------------------------------------------------------------------
+# VAE encoder (diffusers AutoencoderKL encoder + quant_conv), NCHW
+# (all VAE group norms use eps=1e-6; resnets have no time embedding)
+# --------------------------------------------------------------------------
+
+def _vae_resnet(p: dict, pre: str, x: torch.Tensor, groups: int) -> torch.Tensor:
+    h = F.silu(group_norm(p, f"{pre}.norm1", x, groups, eps=1e-6))
+    h = conv2d(p, f"{pre}.conv1", h)
+    h = F.silu(group_norm(p, f"{pre}.norm2", h, groups, eps=1e-6))
+    h = conv2d(p, f"{pre}.conv2", h)
+    if f"{pre}.conv_shortcut.weight" in p:
+        x = conv2d(p, f"{pre}.conv_shortcut", x, padding=0)
+    return x + h
+
+
+def _vae_attn(p: dict, pre: str, x: torch.Tensor, groups: int) -> torch.Tensor:
+    b, c, h, w = x.shape
+    residual = x
+    n = group_norm(p, f"{pre}.group_norm", x, groups, eps=1e-6)
+    flat = n.permute(0, 2, 3, 1).reshape(b, h * w, c)
+    q = linear(p, f"{pre}.to_q", flat)
+    k = linear(p, f"{pre}.to_k", flat)
+    v = linear(p, f"{pre}.to_v", flat)
+    scores = torch.einsum("bqc,bkc->bqk", q, k) * (c ** -0.5)
+    out = torch.einsum("bqk,bkc->bqc", torch.softmax(scores, dim=-1), v)
+    out = linear(p, f"{pre}.to_out.0", out)
+    return residual + out.reshape(b, h, w, c).permute(0, 3, 1, 2)
+
+
+@torch.no_grad()
+def vae_encode_moments(params: dict, x: torch.Tensor, config) -> torch.Tensor:
+    """config: scal_sdt_tpu.models.vae.VAEConfig. x NCHW in [-1, 1]."""
+    g = config.norm_num_groups
+    p = params
+    h = conv2d(p, "encoder.conv_in", x)
+    n_blocks = len(config.block_out_channels)
+    for i in range(n_blocks):
+        for j in range(config.layers_per_block):
+            h = _vae_resnet(p, f"encoder.down_blocks.{i}.resnets.{j}", h, g)
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in p:
+            # diffusers pads asymmetrically ((0,1),(0,1)) before stride-2
+            h = F.pad(h, (0, 1, 0, 1))
+            h = conv2d(p, f"encoder.down_blocks.{i}.downsamplers.0.conv", h,
+                       stride=2, padding=0)
+    h = _vae_resnet(p, "encoder.mid_block.resnets.0", h, g)
+    h = _vae_attn(p, "encoder.mid_block.attentions.0", h, g)
+    h = _vae_resnet(p, "encoder.mid_block.resnets.1", h, g)
+    h = F.silu(group_norm(p, "encoder.conv_norm_out", h, g, eps=1e-6))
+    h = conv2d(p, "encoder.conv_out", h)
+    return conv2d(p, "quant_conv", h, padding=0)
+
+
+# --------------------------------------------------------------------------
+# Training loss (the reference's training_step, torch side)
+# --------------------------------------------------------------------------
+
+@torch.no_grad()
+def training_loss(params: dict, latents: torch.Tensor, noise: torch.Tensor,
+                  timesteps: torch.Tensor, context: torch.Tensor,
+                  unet_config, alphas_cumprod: torch.Tensor,
+                  prediction_type: str = "epsilon") -> torch.Tensor:
+    """DDPM q-sample + UNet + MSE against the schedule target
+    (reference `/root/reference/modules/model.py:289-316`)."""
+    ac = alphas_cumprod[timesteps][:, None, None, None]
+    noisy = ac.sqrt() * latents + (1 - ac).sqrt() * noise
+    pred = unet_forward(params, noisy, timesteps, context, unet_config)
+    if prediction_type == "epsilon":
+        target = noise
+    elif prediction_type == "sample":
+        target = latents
+    elif prediction_type == "v":
+        target = ac.sqrt() * noise - (1 - ac).sqrt() * latents
+    else:
+        raise ValueError(prediction_type)
+    return F.mse_loss(pred.float(), target.float())

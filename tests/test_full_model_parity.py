@@ -1,0 +1,129 @@
+"""Full-model forward + training-loss parity: JAX vs independent torch path.
+
+BASELINE.md's acceptance metric is training-loss agreement (<=1e-3) with the
+torch reference. diffusers + pretrained weights don't exist offline
+(SURVEY.md §6), so `lab/torch_parity.py` implements the same architecture
+through torch's own kernels (NCHW convs, torch norms/softmax) over the SAME
+flat param dict — catching every full-model failure mode that doesn't need
+the exact pretrained weights: layouts, skip wiring, eps placement, head
+plumbing, objective assembly. Reference behavior being mirrored:
+`/root/reference/modules/model.py:289-316` (training_step on diffusers
+UNet2DConditionModel / AutoencoderKL).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from scal_sdt_tpu.diffusion.schedule import NoiseSchedule
+from scal_sdt_tpu.models.unet import UNetConfig, init_unet_params, unet_apply
+from scal_sdt_tpu.models.vae import VAEConfig, encoder_apply, vae_param_shapes
+
+from lab.torch_parity import training_loss, unet_forward, vae_encode_moments
+
+
+def _to_torch(params):
+    return {k: torch.from_numpy(np.asarray(v)) for k, v in params.items()}
+
+
+def _rand_params(shapes, seed=0):
+    rng = np.random.RandomState(seed)
+    out = {}
+    for name, shape in sorted(shapes.items()):
+        if name.endswith(".bias"):
+            out[name] = rng.randn(*shape).astype(np.float32) * 0.02
+        elif len(shape) == 1:
+            out[name] = 1.0 + rng.randn(*shape).astype(np.float32) * 0.02
+        else:
+            fan_in = int(np.prod(shape[1:]))
+            out[name] = rng.randn(*shape).astype(np.float32) / np.sqrt(max(fan_in, 1))
+    return out
+
+
+@pytest.mark.parametrize("config,hw,ctx_dim", [
+    (UNetConfig.tiny(), 8, 32),
+    (UNetConfig.sd15(), 16, 768),   # full SD1.5 params, reduced spatial size
+])
+def test_unet_forward_parity(config, hw, ctx_dim):
+    params = init_unet_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    b = 2
+    sample = rng.randn(b, hw, hw, config.in_channels).astype(np.float32)
+    timesteps = np.array([7, 421], dtype=np.int32)
+    context = rng.randn(b, 11, ctx_dim).astype(np.float32)
+
+    out_jax = np.asarray(unet_apply(params, jnp.asarray(sample),
+                                    jnp.asarray(timesteps), jnp.asarray(context), config))
+
+    tp = _to_torch(params)
+    out_torch = unet_forward(
+        tp, torch.from_numpy(sample).permute(0, 3, 1, 2),
+        torch.from_numpy(timesteps.astype(np.int64)),
+        torch.from_numpy(context), config,
+    ).permute(0, 2, 3, 1).numpy()
+
+    scale = np.abs(out_torch).max()
+    assert np.abs(out_jax - out_torch).max() / scale < 1e-3
+
+
+@pytest.mark.parametrize("config,hw", [
+    (VAEConfig.tiny(), 16),
+    (VAEConfig.sd15(), 32),        # full SD1.5 VAE params, reduced spatial
+])
+def test_vae_encoder_parity(config, hw):
+    shapes = {k: v for k, v in vae_param_shapes(config).items()
+              if k.startswith("encoder.") or k.startswith("quant_conv.")}
+    params = {k: jnp.asarray(v) for k, v in _rand_params(shapes).items()}
+    rng = np.random.RandomState(2)
+    x = rng.uniform(-1, 1, (1, hw, hw, config.in_channels)).astype(np.float32)
+
+    mom_jax = np.asarray(encoder_apply(params, jnp.asarray(x), config))
+    mom_torch = vae_encode_moments(
+        _to_torch(params), torch.from_numpy(x).permute(0, 3, 1, 2), config,
+    ).permute(0, 2, 3, 1).numpy()
+
+    scale = np.abs(mom_torch).max()
+    assert np.abs(mom_jax - mom_torch).max() / scale < 1e-3
+
+
+@pytest.mark.parametrize("prediction_type", ["epsilon", "sample", "v"])
+def test_training_loss_parity(prediction_type):
+    """The headline metric: same weights, latents, noise, timesteps, conds
+    -> training loss agrees <=1e-3 between the JAX schedule+UNet+MSE and the
+    torch side."""
+    config = UNetConfig.tiny()
+    schedule = NoiseSchedule(prediction_type=prediction_type)
+    params = init_unet_params(jax.random.PRNGKey(3), config, dtype=jnp.float32)
+
+    rng = np.random.RandomState(4)
+    b, hw = 2, 8
+    latents = rng.randn(b, hw, hw, 4).astype(np.float32)
+    noise = rng.randn(b, hw, hw, 4).astype(np.float32)
+    timesteps = np.array([13, 877], dtype=np.int32)
+    context = rng.randn(b, 7, config.cross_attention_dim).astype(np.float32)
+
+    # JAX side: exactly the compute_loss math (training/step.py:155-174)
+    noisy = schedule.add_noise(jnp.asarray(latents), jnp.asarray(noise),
+                               jnp.asarray(timesteps))
+    pred = unet_apply(params, noisy, jnp.asarray(timesteps),
+                      jnp.asarray(context), config)
+    target = schedule.training_target(jnp.asarray(latents), jnp.asarray(noise),
+                                      jnp.asarray(timesteps))
+    loss_jax = float(jnp.mean(jnp.square(pred - target)))
+
+    loss_torch = float(training_loss(
+        _to_torch(params),
+        torch.from_numpy(latents).permute(0, 3, 1, 2),
+        torch.from_numpy(noise).permute(0, 3, 1, 2),
+        torch.from_numpy(timesteps.astype(np.int64)),
+        torch.from_numpy(context),
+        config,
+        torch.from_numpy(schedule.alphas_cumprod),
+        prediction_type={"v": "v"}.get(prediction_type, prediction_type),
+    ))
+
+    assert abs(loss_jax - loss_torch) / max(abs(loss_torch), 1e-8) < 1e-3, \
+        (loss_jax, loss_torch)
