@@ -113,14 +113,23 @@ def _spatial_transformer(p: dict, pre: str, x: torch.Tensor, context: torch.Tens
     b, c, h, w = x.shape
     residual = x
     x = group_norm(p, f"{pre}.norm", x, groups, eps=1e-6)
-    x = conv2d(p, f"{pre}.proj_in", x, padding=0)
-    x = x.permute(0, 2, 3, 1).reshape(b, h * w, c)
+    proj_linear = p[f"{pre}.proj_in.weight"].ndim == 2   # SD2.x linear proj
+    if proj_linear:
+        x = x.permute(0, 2, 3, 1).reshape(b, h * w, c)
+        x = linear(p, f"{pre}.proj_in", x)
+    else:
+        x = conv2d(p, f"{pre}.proj_in", x, padding=0)
+        x = x.permute(0, 2, 3, 1).reshape(b, h * w, c)
     i = 0
     while f"{pre}.transformer_blocks.{i}.norm1.weight" in p:
         x = _transformer_block(p, f"{pre}.transformer_blocks.{i}", x, context, num_heads)
         i += 1
-    x = x.reshape(b, h, w, c).permute(0, 3, 1, 2)
-    x = conv2d(p, f"{pre}.proj_out", x, padding=0)
+    if proj_linear:
+        x = linear(p, f"{pre}.proj_out", x)
+        x = x.reshape(b, h, w, c).permute(0, 3, 1, 2)
+    else:
+        x = x.reshape(b, h, w, c).permute(0, 3, 1, 2)
+        x = conv2d(p, f"{pre}.proj_out", x, padding=0)
     return x + residual
 
 
@@ -129,7 +138,6 @@ def unet_forward(params: dict, sample: torch.Tensor, timesteps: torch.Tensor,
                  context: torch.Tensor, config) -> torch.Tensor:
     """config: scal_sdt_tpu.models.unet.UNetConfig. sample NCHW."""
     g = config.norm_num_groups
-    heads = config.num_attention_heads
 
     t_feat = timestep_embedding(timesteps, config.block_out_channels[0],
                                 config.flip_sin_to_cos, float(config.freq_shift))
@@ -146,14 +154,15 @@ def unet_forward(params: dict, sample: torch.Tensor, timesteps: torch.Tensor,
             h = _resnet(params, f"down_blocks.{i}.resnets.{j}", h, temb, g)
             if has_attn:
                 h = _spatial_transformer(params, f"down_blocks.{i}.attentions.{j}",
-                                         h, context, heads, g)
+                                         h, context, config.heads_at(i), g)
             skips.append(h)
         if f"down_blocks.{i}.downsamplers.0.conv.weight" in params:
             h = conv2d(params, f"down_blocks.{i}.downsamplers.0.conv", h, stride=2)
             skips.append(h)
 
     h = _resnet(params, "mid_block.resnets.0", h, temb, g)
-    h = _spatial_transformer(params, "mid_block.attentions.0", h, context, heads, g)
+    h = _spatial_transformer(params, "mid_block.attentions.0", h, context,
+                             config.heads_at(len(config.down_block_types) - 1), g)
     h = _resnet(params, "mid_block.resnets.1", h, temb, g)
 
     for i, block_type in enumerate(config.up_block_types):
@@ -164,7 +173,8 @@ def unet_forward(params: dict, sample: torch.Tensor, timesteps: torch.Tensor,
             h = _resnet(params, f"up_blocks.{i}.resnets.{j}", h, temb, g)
             if has_attn:
                 h = _spatial_transformer(params, f"up_blocks.{i}.attentions.{j}",
-                                         h, context, heads, g)
+                                         h, context,
+                                         config.heads_at(len(config.up_block_types) - 1 - i), g)
         if f"up_blocks.{i}.upsamplers.0.conv.weight" in params:
             h = F.interpolate(h, scale_factor=2.0, mode="nearest")
             h = conv2d(params, f"up_blocks.{i}.upsamplers.0.conv", h)

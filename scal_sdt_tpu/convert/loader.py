@@ -80,15 +80,17 @@ def _load_df_component_config(d: Path) -> dict:
 def _unet_config_from_df(cfg: dict) -> UNetConfig:
     if not cfg:
         return UNetConfig.sd15()
+    # diffusers quirk: "attention_head_dim" historically holds the HEAD COUNT
+    # (int for SD1.x, per-level list for SD2.x)
     heads = cfg.get("num_attention_heads") or cfg.get("attention_head_dim", 8)
-    if isinstance(heads, (list, tuple)):
-        heads = heads[0]
+    heads = tuple(heads) if isinstance(heads, (list, tuple)) else int(heads)
     return UNetConfig(
         in_channels=cfg.get("in_channels", 4),
         out_channels=cfg.get("out_channels", 4),
         block_out_channels=tuple(cfg.get("block_out_channels", (320, 640, 1280, 1280))),
         layers_per_block=cfg.get("layers_per_block", 2),
-        num_attention_heads=int(heads),
+        num_attention_heads=heads,
+        use_linear_projection=bool(cfg.get("use_linear_projection", False)),
         cross_attention_dim=cfg.get("cross_attention_dim", 768),
         down_block_types=tuple(cfg.get("down_block_types", UNetConfig.sd15().down_block_types)),
         up_block_types=tuple(cfg.get("up_block_types", UNetConfig.sd15().up_block_types)),
@@ -121,6 +123,7 @@ def _clip_config_from_df(cfg: dict) -> CLIPTextConfig:
         num_hidden_layers=cfg.get("num_hidden_layers", 12),
         num_attention_heads=cfg.get("num_attention_heads", 12),
         max_position_embeddings=cfg.get("max_position_embeddings", 77),
+        hidden_act=cfg.get("hidden_act", "quick_gelu"),
     )
 
 

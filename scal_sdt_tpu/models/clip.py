@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import multi_head_attention
-from .functional import Params, layer_norm, linear, quick_gelu
+from .functional import Params, gelu, layer_norm, linear, quick_gelu
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,10 +33,18 @@ class CLIPTextConfig:
     num_hidden_layers: int = 12
     num_attention_heads: int = 12
     max_position_embeddings: int = 77
+    hidden_act: str = "quick_gelu"   # SD2.x's OpenCLIP-derived encoder: "gelu"
 
     @classmethod
     def vit_l(cls) -> "CLIPTextConfig":
         return cls()
+
+    @classmethod
+    def sd21(cls) -> "CLIPTextConfig":
+        """SD 2.x text encoder (OpenCLIP ViT-H in transformers CLIP layout)."""
+        return cls(hidden_size=1024, intermediate_size=4096,
+                   num_hidden_layers=23, num_attention_heads=16,
+                   hidden_act="gelu")
 
     @classmethod
     def tiny(cls) -> "CLIPTextConfig":
@@ -70,7 +78,8 @@ def clip_text_apply(params: Params, input_ids: jnp.ndarray, config: CLIPTextConf
         attn = multi_head_attention(q, k, v, heads, float(head_dim) ** -0.5, causal=True)
         x = x + linear(p, f"{pre}.self_attn.out_proj", attn)
         n = layer_norm(p, f"{pre}.layer_norm2", x)
-        h = quick_gelu(linear(p, f"{pre}.mlp.fc1", n))
+        h = linear(p, f"{pre}.mlp.fc1", n)
+        h = quick_gelu(h) if config.hidden_act == "quick_gelu" else gelu(h)
         x = x + linear(p, f"{pre}.mlp.fc2", h)
 
     return layer_norm(p, "text_model.final_layer_norm", x)

@@ -41,7 +41,12 @@ class UNetConfig:
     out_channels: int = 4
     block_out_channels: tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
-    num_attention_heads: int = 8
+    # int (SD1.x: 8 everywhere) or per-level tuple (SD2.x: (5, 10, 20, 20),
+    # i.e. head_dim 64). Mirrors diffusers' attention_head_dim quirk, which
+    # despite its name holds the HEAD COUNT.
+    num_attention_heads: int | tuple[int, ...] = 8
+    # SD2.x Transformer2D uses nn.Linear proj_in/out instead of 1x1 convs.
+    use_linear_projection: bool = False
     cross_attention_dim: int = 768
     down_block_types: tuple[str, ...] = (
         "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D",
@@ -61,6 +66,18 @@ class UNetConfig:
     @classmethod
     def sd15(cls) -> "UNetConfig":
         return cls()
+
+    @classmethod
+    def sd21(cls) -> "UNetConfig":
+        """SD 2.x: head_dim 64 (per-level head counts), linear projections,
+        OpenCLIP-H context width."""
+        return cls(num_attention_heads=(5, 10, 20, 20),
+                   use_linear_projection=True,
+                   cross_attention_dim=1024)
+
+    def heads_at(self, level: int) -> int:
+        h = self.num_attention_heads
+        return h[level] if isinstance(h, (tuple, list)) else int(h)
 
     @classmethod
     def tiny(cls) -> "UNetConfig":
@@ -100,12 +117,19 @@ class UNetConfig:
             up_types.append("CrossAttnUpBlock2D" if f in attn_res else "UpBlock2D")
             if i != len(mult) - 1:
                 res //= 2
+        # SD1.x LDM yaml sets num_heads; SD2.x sets num_head_channels (64),
+        # giving per-level head counts (reference sd_to_diffusers.py:198-206)
+        if "num_head_channels" in u:
+            heads = tuple(c // int(u.num_head_channels) for c in block_out)
+        else:
+            heads = int(u.get("num_heads", 8))
         return cls(
             in_channels=int(u.in_channels),
             out_channels=int(u.out_channels),
             block_out_channels=block_out,
             layers_per_block=int(u.num_res_blocks),
-            num_attention_heads=int(u.get("num_heads", 8)),
+            num_attention_heads=heads,
+            use_linear_projection=bool(u.get("use_linear_in_transformer", False)),
             cross_attention_dim=int(u.context_dim),
             down_block_types=tuple(down_types),
             up_block_types=tuple(up_types),
@@ -167,14 +191,25 @@ def _spatial_transformer(p: Params, pre: str, x: jnp.ndarray, context: jnp.ndarr
     b, h, w, c = x.shape
     residual = x
     x = group_norm(p, f"{pre}.norm", x, groups, eps=1e-6)
-    x = conv2d(p, f"{pre}.proj_in", x, padding=0)
-    x = x.reshape(b, h * w, c)
+    # SD1.x: 1x1 conv projections (OIHW, ndim 4); SD2.x: nn.Linear (ndim 2).
+    # diffusers also swaps the reshape/projection order between the two.
+    proj_linear = p[f"{pre}.proj_in.weight"].ndim == 2
+    if proj_linear:
+        x = x.reshape(b, h * w, c)
+        x = linear(p, f"{pre}.proj_in", x)
+    else:
+        x = conv2d(p, f"{pre}.proj_in", x, padding=0)
+        x = x.reshape(b, h * w, c)
     i = 0
     while f"{pre}.transformer_blocks.{i}.norm1.weight" in p:
         x = _transformer_block(p, f"{pre}.transformer_blocks.{i}", x, context, num_heads)
         i += 1
-    x = x.reshape(b, h, w, c)
-    x = conv2d(p, f"{pre}.proj_out", x, padding=0)
+    if proj_linear:
+        x = linear(p, f"{pre}.proj_out", x)
+        x = x.reshape(b, h, w, c)
+    else:
+        x = x.reshape(b, h, w, c)
+        x = conv2d(p, f"{pre}.proj_out", x, padding=0)
     return x + residual
 
 
@@ -202,7 +237,6 @@ def unet_apply(params: Params, sample: jnp.ndarray, timesteps: jnp.ndarray,
     full remat's memory saving at a fraction of the recompute cost.
     """
     g = config.norm_num_groups
-    heads = config.num_attention_heads
     n_down = len(config.down_block_types)
     n_up = len(config.up_block_types)
 
@@ -233,7 +267,8 @@ def unet_apply(params: Params, sample: jnp.ndarray, timesteps: jnp.ndarray,
                 h_ = _resnet(params, f"down_blocks.{i}.resnets.{j}", h_, temb_, g)
                 if has_attn:
                     h_ = _spatial_transformer(
-                        params, f"down_blocks.{i}.attentions.{j}", h_, context_, heads, g)
+                        params, f"down_blocks.{i}.attentions.{j}", h_, context_,
+                        config.heads_at(i), g)
                 return h_
 
             h = maybe_ckpt(down_unit, high_res=(i == 0))(h, temb, context)
@@ -245,7 +280,8 @@ def unet_apply(params: Params, sample: jnp.ndarray, timesteps: jnp.ndarray,
     # Mid
     def mid_unit(h_, temb_, context_):
         h_ = _resnet(params, "mid_block.resnets.0", h_, temb_, g)
-        h_ = _spatial_transformer(params, "mid_block.attentions.0", h_, context_, heads, g)
+        h_ = _spatial_transformer(params, "mid_block.attentions.0", h_, context_,
+                                  config.heads_at(n_down - 1), g)
         h_ = _resnet(params, "mid_block.resnets.1", h_, temb_, g)
         return h_
 
@@ -262,7 +298,8 @@ def unet_apply(params: Params, sample: jnp.ndarray, timesteps: jnp.ndarray,
                 h_ = _resnet(params, f"up_blocks.{i}.resnets.{j}", h_, temb_, g)
                 if has_attn:
                     h_ = _spatial_transformer(
-                        params, f"up_blocks.{i}.attentions.{j}", h_, context_, heads, g)
+                        params, f"up_blocks.{i}.attentions.{j}", h_, context_,
+                        config.heads_at(n_up - 1 - i), g)
                 return h_
 
             h = maybe_ckpt(up_unit, high_res=(i >= n_up - 2))(h, skip, temb, context)
@@ -316,10 +353,12 @@ def _attn_shapes(pre: str, dim: int, context_dim: int) -> dict[str, tuple[int, .
     return s
 
 
-def _transformer_shapes(pre: str, dim: int, context_dim: int) -> dict[str, tuple[int, ...]]:
+def _transformer_shapes(pre: str, dim: int, context_dim: int,
+                        linear_proj: bool = False) -> dict[str, tuple[int, ...]]:
     s = {}
     s.update(_norm_shapes(f"{pre}.norm", dim))
-    s.update(_conv_shapes(f"{pre}.proj_in", dim, dim, k=1))
+    proj = _linear_shapes if linear_proj else (lambda p, a, b: _conv_shapes(p, a, b, k=1))
+    s.update(proj(f"{pre}.proj_in", dim, dim))
     tb = f"{pre}.transformer_blocks.0"
     s.update(_norm_shapes(f"{tb}.norm1", dim))
     s.update(_attn_shapes(f"{tb}.attn1", dim, dim))
@@ -328,7 +367,7 @@ def _transformer_shapes(pre: str, dim: int, context_dim: int) -> dict[str, tuple
     s.update(_norm_shapes(f"{tb}.norm3", dim))
     s.update(_linear_shapes(f"{tb}.ff.net.0.proj", dim, dim * 8))
     s.update(_linear_shapes(f"{tb}.ff.net.2", dim * 4, dim))
-    s.update(_conv_shapes(f"{pre}.proj_out", dim, dim, k=1))
+    s.update(proj(f"{pre}.proj_out", dim, dim))
     return s
 
 
@@ -350,7 +389,8 @@ def unet_param_shapes(config: UNetConfig) -> dict[str, tuple[int, ...]]:
         for j in range(config.layers_per_block):
             s.update(_resnet_shapes(f"down_blocks.{i}.resnets.{j}", in_c if j == 0 else out_c, out_c, temb_dim))
             if has_attn:
-                s.update(_transformer_shapes(f"down_blocks.{i}.attentions.{j}", out_c, ctx))
+                s.update(_transformer_shapes(f"down_blocks.{i}.attentions.{j}", out_c, ctx,
+                                             config.use_linear_projection))
             down_out_channels.append(out_c)
         if i != len(config.down_block_types) - 1:
             s.update(_conv_shapes(f"down_blocks.{i}.downsamplers.0.conv", out_c, out_c))
@@ -358,7 +398,8 @@ def unet_param_shapes(config: UNetConfig) -> dict[str, tuple[int, ...]]:
 
     mid_c = ch[-1]
     s.update(_resnet_shapes("mid_block.resnets.0", mid_c, mid_c, temb_dim))
-    s.update(_transformer_shapes("mid_block.attentions.0", mid_c, ctx))
+    s.update(_transformer_shapes("mid_block.attentions.0", mid_c, ctx,
+                                 config.use_linear_projection))
     s.update(_resnet_shapes("mid_block.resnets.1", mid_c, mid_c, temb_dim))
 
     rev = list(reversed(ch))
@@ -371,7 +412,8 @@ def unet_param_shapes(config: UNetConfig) -> dict[str, tuple[int, ...]]:
             in_c = (prev_out if j == 0 else out_ci) + skip_c
             s.update(_resnet_shapes(f"up_blocks.{i}.resnets.{j}", in_c, out_ci, temb_dim))
             if has_attn:
-                s.update(_transformer_shapes(f"up_blocks.{i}.attentions.{j}", out_ci, ctx))
+                s.update(_transformer_shapes(f"up_blocks.{i}.attentions.{j}", out_ci, ctx,
+                                             config.use_linear_projection))
         if i != len(config.up_block_types) - 1:
             s.update(_conv_shapes(f"up_blocks.{i}.upsamplers.0.conv", out_ci, out_ci))
         prev_out = out_ci

@@ -83,21 +83,20 @@ def _attention_core(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
         and not causal
         and qh.shape[2] >= _PALLAS_MIN_Q_LEN
         and kh.shape[2] >= _PALLAS_MIN_Q_LEN   # short-KV cross-attn: XLA wins
-        and qh.shape[2] % 128 == 0
-        and kh.shape[2] % 128 == 0
         and jax.default_backend() == "tpu"
     )
     if use_pallas:
-        from .splash import pick_block, splash_attention
+        from .splash import pick_block, splash_attention, splash_attention_padded
 
         # 1024 measured best at SD1.5 shapes on v5e (512: +16 ms/step,
         # 256: catastrophic, 2048: fails to fit). See PERF_NOTES.md.
         pref = int(os.environ.get("SSDT_FLASH_BLOCK", 1024))
         bq = pick_block(qh.shape[2], int(os.environ.get("SSDT_SPLASH_BQ", pref)))
         bk = pick_block(kh.shape[2], int(os.environ.get("SSDT_SPLASH_BKV", pref)))
-        if bq is not None and bk is not None:
+        if bq is not None and bk is not None and min(bq, bk) >= 256:
             return splash_attention(qh, kh, vh, scale, bq, bk)
-        from .flash_attention import flash_attention
-
-        return flash_attention(qh, kh, vh, scale)
+        # ARB bucket lengths are multiples of 64, not always of a usable
+        # block — pad to the block grid with masked keys rather than fall
+        # back to O(L^2)-memory XLA attention (which OOMs at batch 8).
+        return splash_attention_padded(qh, kh, vh, scale, 512)
     return _attention_xla(qh, kh, vh, scale, mask)

@@ -26,9 +26,20 @@ from jax.experimental.pallas.ops.tpu.splash_attention import (
 
 @functools.lru_cache(maxsize=32)
 def _make_kernel(num_heads: int, q_len: int, kv_len: int, block_q: int,
-                 block_kv: int):
-    mask = _sm.MultiHeadMask([_sm.FullMask((q_len, kv_len))
-                              for _ in range(num_heads)])
+                 block_kv: int, kv_valid: int = 0):
+    """kv_valid > 0 marks a right-padded KV: keys >= kv_valid are masked out
+    (ARB bucket sequence lengths are multiples of 64, not always of a usable
+    block size — padding to the block grid keeps every bucket on the kernel
+    path instead of falling back to an O(L^2)-memory XLA attention)."""
+    if kv_valid:
+        import numpy as np
+
+        m = np.zeros((q_len, kv_len), dtype=bool)
+        m[:, :kv_valid] = True
+        mask = _sm.MultiHeadMask([_sm.NumpyMask(m) for _ in range(num_heads)])
+    else:
+        mask = _sm.MultiHeadMask([_sm.FullMask((q_len, kv_len))
+                                  for _ in range(num_heads)])
     sizes = _sk.BlockSizes(
         block_q=block_q, block_kv=block_kv, block_kv_compute=block_kv,
         block_q_dkv=block_q, block_kv_dkv=block_kv,
@@ -64,3 +75,29 @@ def splash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kernel = _make_kernel(h, lq, lk, block_q, block_kv)
     qs = q * jnp.asarray(scale, q.dtype)
     return jax.vmap(kernel)(qs, k, v)
+
+
+def splash_attention_padded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            scale: float, block: int = 512) -> jnp.ndarray:
+    """Splash for sequence lengths that no usable block divides.
+
+    Pads Q/K/V up to the block grid; padded KEYS are masked out inside the
+    kernel (padded query rows compute garbage that is sliced off — they never
+    influence real rows). Zero extra HBM beyond the pad copies.
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    lqp = -(-lq // block) * block
+    lkp = -(-lk // block) * block
+
+    def pad_seq(x, target):
+        n = target - x.shape[2]
+        if n == 0:
+            return x
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n), (0, 0)))
+
+    qp, kp, vp = pad_seq(q, lqp), pad_seq(k, lkp), pad_seq(v, lkp)
+    kernel = _make_kernel(h, lqp, lkp, block, block,
+                          kv_valid=lk if lkp != lk else 0)
+    out = jax.vmap(kernel)(qp * jnp.asarray(scale, q.dtype), kp, vp)
+    return out[:, :, :lq]

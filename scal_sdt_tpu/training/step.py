@@ -207,10 +207,11 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
         (loss, metrics), grads = grad_fn(compute, frozen, batch, rng_i, spec)
         return grads, metrics
 
-    # grads are bf16 and masters fp32, so donating grads only buys a
-    # "donated buffers were not usable" warning — donate the state parts
-    # (masters/moments/EMA update in place).
-    @partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
+    # Donate the state parts (masters/moments/EMA update in place) AND the
+    # grads: unused for plain bf16-moment runs (one compile-time warning),
+    # but the int8 flat-buffer optimizer aliases the dead grads into its
+    # flat/stacked bf16 buffers — part of fitting int8 mode in 16 GB.
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 5) if donate else ())
     def update_step(trainable: Params, opt_state, ema, step, rng, grads: Params):
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = jax.tree.map(

@@ -11,6 +11,8 @@ plumbing, objective assembly. Reference behavior being mirrored:
 UNet2DConditionModel / AutoencoderKL).
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 import torch
@@ -46,6 +48,13 @@ def _rand_params(shapes, seed=0):
 @pytest.mark.parametrize("config,hw,ctx_dim", [
     (UNetConfig.tiny(), 8, 32),
     (UNetConfig.sd15(), 16, 768),   # full SD1.5 params, reduced spatial size
+    # SD2.x-style: per-level head counts + linear Transformer2D projections
+    # + OpenCLIP context width (reduced depth for CPU time)
+    (dataclasses.replace(UNetConfig.sd21(), block_out_channels=(320, 640),
+                         num_attention_heads=(5, 10),
+                         down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+                         up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+                         layers_per_block=1), 16, 1024),
 ])
 def test_unet_forward_parity(config, hw, ctx_dim):
     params = init_unet_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)

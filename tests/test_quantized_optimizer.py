@@ -51,9 +51,11 @@ def test_adam8bit_state_memory_is_int8():
     params = {"w": jnp.zeros((1024, 64)), "b": jnp.zeros((100,))}
     tx = scale_by_adam_8bit()
     state = tx.init(params)
-    assert state.mu_q.dtype == jnp.int8
-    assert state.nu_q.dtype == jnp.int8
-    payload_bytes = state.mu_q.size + state.nu_q.size
-    scale_bytes = 4 * (state.mu_s.size + state.nu_s.size)
+    assert all(v.dtype == jnp.int8 for v in state.mu_q.values())
+    assert all(v.dtype == jnp.int8 for v in state.nu_q.values())
+    payload_bytes = sum(v.size for v in state.mu_q.values()) + \
+        sum(v.size for v in state.nu_q.values())
+    scale_bytes = 4 * (sum(v.size for v in state.mu_s.values()) +
+                       sum(v.size for v in state.nu_s.values()))
     fp32_bytes = 2 * 4 * sum(p.size for p in params.values())
     assert payload_bytes + scale_bytes < 0.3 * fp32_bytes
