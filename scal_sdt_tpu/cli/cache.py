@@ -37,14 +37,40 @@ from ..utils.state import save_state_dict
 logger = logging.getLogger("cache")
 
 
+class _PaddedSampler:
+    """Pads a sampler's index stream to `total` entries by repeating its last
+    index, so every dataset entry lands in a full batch (duplicates overwrite
+    the same cache keys at assembly). The reference's DataLoader pads the same
+    way via torch DistributedSampler; without this, up to world*batch-1 tail
+    images would silently never enter the cache."""
+
+    def __init__(self, sampler, total: int):
+        self.sampler = sampler
+        self.total = total
+
+    def __iter__(self):
+        last = None
+        n = 0
+        for idx in self.sampler:
+            last = idx
+            n += 1
+            yield idx
+        for _ in range(self.total - n):
+            yield last
+
+    def __len__(self) -> int:
+        return self.total
+
+
 def build_local_shard(config: Config, models, tokenizer, *,
                       no_conds: bool, aug_group_size: int, batch_size: int,
                       world_size: int, global_rank: int) -> dict:
     """Encode this process's dataset shard.
 
     Returns {'ids': (N,) int64, 'latents': (G, N, h, w, c) f32,
-    'conds': (N, L, D) f32 or None}. N is truncated to the common
-    across-rank batch count so multi-host all-gathers line up.
+    'conds': (N, L, D) f32 or None}. Every rank is padded up to the SAME
+    full-batch count (repeating its last entry), so multi-host all-gathers
+    line up and no tail entry is ever dropped.
     """
     import jax
     import jax.numpy as jnp
@@ -54,17 +80,22 @@ def build_local_shard(config: Config, models, tokenizer, *,
 
     dataset = get_dataset(config, use_cache=False)
     sampler = get_sampler(dataset, config, world_size, global_rank)
+    if len(dataset) == 0:
+        raise ValueError("Dataset is empty; nothing to cache")
+
+    # Common across-rank batch count covering the largest shard: computable
+    # on every rank without communication (ConstantSizeSampler gives rank r
+    # ceil((N-r)/world) entries, max = ceil(N/world)).
+    max_shard = -(-len(dataset) // world_size)
+    n_batches = -(-max_shard // batch_size)
+    target = n_batches * batch_size
+    pad = target - len(sampler)
+    if pad:
+        logger.info(f"Rank {global_rank}: padding shard of {len(sampler)} "
+                    f"entries with {pad} repeats to fill {n_batches} batches")
+    sampler = _PaddedSampler(sampler, target)
     pipeline = DataPipeline(dataset, sampler, batch_size, tokenizer,
                             num_workers=config.get("num_workers") or 4)
-
-    # Every rank must contribute the same number of batches or the gather
-    # deadlocks: truncate to the smallest shard's batch count.
-    n_batches = (len(dataset) // world_size) // batch_size if world_size > 1 \
-        else len(pipeline)
-    if n_batches == 0:
-        raise ValueError(
-            f"Dataset of {len(dataset)} images yields no full batches of "
-            f"{batch_size} across {world_size} processes")
 
     vae_params = {k: jnp.asarray(v) for k, v in models.vae.items()}
     clip_params = {k: jnp.asarray(v) for k, v in models.clip.items()}
@@ -151,10 +182,14 @@ def assemble_cache(merged: dict) -> tuple[dict, dict]:
         for i, id_ in enumerate(ids):
             cache[f"{int(id_)}.cond"] = conds[i]
 
+    # Padding repeats ids; the per-key overwrites above already dedup the
+    # tensors, and total_entries must be the UNIQUE count (it is consumed as
+    # the dataset length by the cache-backed training path).
+    entries = sorted({int(i) for i in ids})
     metadata = {
         "sizes": sizes,
-        "entries": sorted({int(i) for i in ids}),
-        "total_entries": len(ids),
+        "entries": entries,
+        "total_entries": len(entries),
         "aug_group_size": aug_group_size,
     }
     return cache, metadata

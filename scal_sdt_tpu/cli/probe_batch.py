@@ -42,7 +42,10 @@ def main(config_path: Path, batch_size: int, steps: int):
     try:
         with tempfile.TemporaryDirectory() as run_dir:
             trainer = Trainer(config, Path(run_dir))
-            trainer.fit(max_steps_override=steps)
+            # final_save=False keeps the trial hermetic: a probe must not pay
+            # a multi-GB checkpoint gather per trial, and a failing save would
+            # surface as a non-OOM error that aborts the whole tuning run.
+            trainer.fit(max_steps_override=steps, final_save=False)
     except Exception as e:  # noqa: BLE001 - exit code IS the result
         msg = f"{type(e).__name__}: {e}"
         if any(m in msg for m in OOM_MARKERS):

@@ -95,9 +95,20 @@ def main(config_path: Optional[Path], run_id: Optional[str],
     # each subprocess trial gets a clean device.
     if (resume_ckpt_path is None and config_path is not None
             and config.trainer.get("auto_scale_batch_size", False)):
-        from ..training.tuner import tune_batch_size
+        import jax
 
-        config.batch_size = tune_batch_size(config, config_path)
+        if jax.process_count() > 1:
+            # Probe subprocesses cannot join the multi-host slice, and
+            # per-host searches could pick different batch sizes and deadlock
+            # the collectives. Skip loudly rather than desync.
+            logger.warning(
+                "auto_scale_batch_size is single-host only; skipping on a "
+                f"{jax.process_count()}-process slice (set batch_size "
+                "explicitly for multi-host runs)")
+        else:
+            from ..training.tuner import tune_batch_size
+
+            config.batch_size = tune_batch_size(config, config_path)
 
     trainer = Trainer(config, run_dir)
     if resume_ckpt_path is not None:

@@ -28,6 +28,7 @@ from ..models.unet import UNetConfig, unet_param_shapes
 from ..models.vae import VAEConfig, vae_param_shapes
 from ..utils.state import load_state_dict, replace_prefix, where_prefix
 from .sd_names import (
+    convert_openclip_text_to_transformers,
     convert_unet_state_ldm_to_df,
     convert_vae_state_ldm_to_df,
     normalize_df_vae_attention,
@@ -127,6 +128,24 @@ def _clip_config_from_df(cfg: dict) -> CLIPTextConfig:
     )
 
 
+def _clip_config_from_state(clip: dict) -> CLIPTextConfig:
+    """Infer the text-encoder config from a converted transformers-layout
+    state dict (used for SD2.x single-file loads, where no config.json
+    exists). Head count follows the OpenCLIP width//64 convention."""
+    tok = clip["text_model.embeddings.token_embedding.weight"]
+    pos = clip["text_model.embeddings.position_embedding.weight"]
+    fc1 = clip["text_model.encoder.layers.0.mlp.fc1.weight"]
+    layers = 0
+    while f"text_model.encoder.layers.{layers}.layer_norm1.weight" in clip:
+        layers += 1
+    d = int(tok.shape[1])
+    return CLIPTextConfig(
+        vocab_size=int(tok.shape[0]), hidden_size=d,
+        intermediate_size=int(fc1.shape[0]), num_hidden_layers=layers,
+        num_attention_heads=max(d // 64, 1),
+        max_position_embeddings=int(pos.shape[0]), hidden_act="gelu")
+
+
 def load_diffusers_dir(path: Path, vae_override: Optional[str] = None) -> LoadedModels:
     path = Path(path)
 
@@ -178,9 +197,18 @@ def load_ldm_checkpoint(path: Path, ldm_config: Optional[Config] = None,
         vae_ldm = replace_prefix(state, "first_stage_model.")
     vae = convert_vae_state_ldm_to_df(vae_ldm, vae_config)
 
-    clip = replace_prefix(state, "cond_stage_model.transformer.")
-    clip.pop("text_model.embeddings.position_ids", None)
-    clip_config = CLIPTextConfig.vit_l()
+    openclip = replace_prefix(state, "cond_stage_model.model.")
+    if openclip:
+        # SD2.x single-file layout: the text tower is OpenCLIP ViT-H
+        # (resblocks + fused in_proj). Beyond-reference capability — the
+        # reference's converter handles the SD1 CLIP layout only
+        # (/root/reference/modules/convert/sd_to_diffusers.py:583-586).
+        clip = convert_openclip_text_to_transformers(openclip)
+        clip_config = _clip_config_from_state(clip)
+    else:
+        clip = replace_prefix(state, "cond_stage_model.transformer.")
+        clip.pop("text_model.embeddings.position_ids", None)
+        clip_config = CLIPTextConfig.vit_l()
 
     schedule = NoiseSchedule.from_ldm_config(ldm_config)
 

@@ -297,3 +297,82 @@ def normalize_df_vae_attention(state: dict) -> dict:
                 break
         out[k] = v
     return out
+
+
+def convert_openclip_text_to_transformers(state: dict) -> dict:
+    """OpenCLIP text-tower state (SD2.x single-file ``cond_stage_model.model.*``,
+    already prefix-stripped) -> transformers ``CLIPTextModel`` layout.
+
+    The reference cannot load these at all (its converter handles the SD1
+    CLIP layout only, ``/root/reference/modules/convert/sd_to_diffusers.py:583-586``);
+    this follows the public diffusers ``convert_open_clip_checkpoint``
+    convention: ``resblocks.N`` -> ``encoder.layers.N`` with the fused
+    ``attn.in_proj`` split into thirds (q/k/v are stacked row-wise, NOT
+    per-head interleaved), and — when all 24 ViT-H resblocks are present —
+    the last resblock dropped, since SD2 conditions on the penultimate layer
+    ("layer: penultimate" in the LDM yaml) and the diffusers text encoder is
+    shipped as the equivalent 23-layer model.
+    """
+    import re
+
+    n_blocks = 0
+    for k in state:
+        m = re.match(r"transformer\.resblocks\.(\d+)\.", k)
+        if m:
+            n_blocks = max(n_blocks, int(m.group(1)) + 1)
+    if n_blocks == 0:
+        raise ValueError("No transformer.resblocks.* keys: not an OpenCLIP text tower")
+    keep = n_blocks - 1 if n_blocks == 24 else n_blocks
+
+    leaf_renames = [
+        ("ln_1.", "layer_norm1."),
+        ("ln_2.", "layer_norm2."),
+        ("mlp.c_fc.", "mlp.fc1."),
+        ("mlp.c_proj.", "mlp.fc2."),
+        ("attn.out_proj.", "self_attn.out_proj."),
+    ]
+    out: dict = {}
+    consumed = set()
+    for k, v in state.items():
+        m = re.match(r"transformer\.resblocks\.(\d+)\.(.+)$", k)
+        if not m:
+            continue
+        i, leaf = int(m.group(1)), m.group(2)
+        consumed.add(k)
+        if i >= keep:
+            continue
+        pre = f"text_model.encoder.layers.{i}."
+        if leaf.startswith("attn.in_proj_"):
+            kind = leaf.removeprefix("attn.in_proj_")  # weight | bias
+            arr = np.asarray(v)
+            d = arr.shape[0] // 3
+            for name, part in zip(("q_proj", "k_proj", "v_proj"),
+                                  (arr[:d], arr[d:2 * d], arr[2 * d:])):
+                out[f"{pre}self_attn.{name}.{kind}"] = part
+            continue
+        for old, new in leaf_renames:
+            if leaf.startswith(old):
+                leaf = new + leaf.removeprefix(old)
+                break
+        out[pre + leaf] = v
+
+    top = {
+        "token_embedding.weight": "text_model.embeddings.token_embedding.weight",
+        "positional_embedding": "text_model.embeddings.position_embedding.weight",
+        "ln_final.weight": "text_model.final_layer_norm.weight",
+        "ln_final.bias": "text_model.final_layer_norm.bias",
+    }
+    for src, dst in top.items():
+        if src in state:
+            out[dst] = state[src]
+            consumed.add(src)
+    # text_projection / logit_scale are CLIP-contrastive heads the text
+    # encoder never uses; drop them knowingly.
+    consumed.update(k for k in ("text_projection", "logit_scale") if k in state)
+
+    leftover = [k for k in state if k not in consumed]
+    if leftover:
+        raise ValueError(
+            f"OpenCLIP conversion left {len(leftover)} unconsumed keys, "
+            f"e.g. {leftover[:5]}")
+    return out

@@ -18,7 +18,10 @@ from typing import Callable
 import numpy as np
 from PIL import Image
 
-Transform = Callable[[Image.Image], Image.Image]
+# Transforms take the image and a per-item random.Random (derived from
+# (seed, epoch, item id) by the dataset) so augmentation draws are
+# reproducible and thread-safe.
+Transform = Callable[[Image.Image, random.Random], Image.Image]
 
 _REGISTRY: dict[str, Callable[..., Transform]] = {}
 
@@ -56,8 +59,8 @@ def random_rotation_with_crop(angle_deg: float, interpolation: str = "bilinear")
     interp = {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC,
               "nearest": Image.NEAREST}[str(interpolation).lower()]
 
-    def apply(img: Image.Image) -> Image.Image:
-        angle = random.uniform(-angle_deg, angle_deg)
+    def apply(img: Image.Image, rng: random.Random) -> Image.Image:
+        angle = rng.uniform(-angle_deg, angle_deg)
         rotated = img.rotate(angle, resample=interp, expand=True)
         w_c, h_c = max_area_crop_size(img.width, img.height, math.radians(angle))
         left = (rotated.width - w_c) // 2
@@ -69,8 +72,8 @@ def random_rotation_with_crop(angle_deg: float, interpolation: str = "bilinear")
 
 @register("RandomHorizontalFlip", "torchvision.transforms.RandomHorizontalFlip")
 def random_hflip(p: float = 0.5) -> Transform:
-    def apply(img: Image.Image) -> Image.Image:
-        return img.transpose(Image.FLIP_LEFT_RIGHT) if random.random() < p else img
+    def apply(img: Image.Image, rng: random.Random) -> Image.Image:
+        return img.transpose(Image.FLIP_LEFT_RIGHT) if rng.random() < p else img
 
     return apply
 
@@ -80,16 +83,16 @@ def color_jitter(brightness: float = 0.0, contrast: float = 0.0,
                  saturation: float = 0.0, hue: float = 0.0) -> Transform:
     from PIL import ImageEnhance
 
-    def apply(img: Image.Image) -> Image.Image:
+    def apply(img: Image.Image, rng: random.Random) -> Image.Image:
         if brightness:
-            img = ImageEnhance.Brightness(img).enhance(1 + random.uniform(-brightness, brightness))
+            img = ImageEnhance.Brightness(img).enhance(1 + rng.uniform(-brightness, brightness))
         if contrast:
-            img = ImageEnhance.Contrast(img).enhance(1 + random.uniform(-contrast, contrast))
+            img = ImageEnhance.Contrast(img).enhance(1 + rng.uniform(-contrast, contrast))
         if saturation:
-            img = ImageEnhance.Color(img).enhance(1 + random.uniform(-saturation, saturation))
+            img = ImageEnhance.Color(img).enhance(1 + rng.uniform(-saturation, saturation))
         if hue:
             hsv = np.array(img.convert("HSV"), np.int16)
-            hsv[..., 0] = (hsv[..., 0] + int(random.uniform(-hue, hue) * 255)) % 256
+            hsv[..., 0] = (hsv[..., 0] + int(rng.uniform(-hue, hue) * 255)) % 256
             img = Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
         return img
 
@@ -112,7 +115,9 @@ class AugmentTransforms:
             params = dict(item.get("params", {}) or {})
             self.transforms.append(_REGISTRY[key](**params))
 
-    def __call__(self, img: Image.Image) -> Image.Image:
+    def __call__(self, img: Image.Image,
+                 rng: random.Random | None = None) -> Image.Image:
+        rng = rng if rng is not None else random.Random()
         for t in self.transforms:
-            img = t(img)
+            img = t(img, rng)
         return img

@@ -107,11 +107,19 @@ class BucketManager:
         self.batch_total = 0
         self.batch_delivered = 0
 
-        self.bucket_prng = np.random.RandomState(seed)
-        # Separate sharding PRNG seeded from the first so bucket draws and
-        # rank sharding cannot desync across processes (bucket.py:47-50).
-        sharding_seed = int(self.bucket_prng.randint(0, 2 ** 31 - 1))
-        self.sharding_prng = np.random.RandomState(sharding_seed)
+        # Epoch-indexed PRNGs: every epoch's shuffle/draw sequence is a pure
+        # function of (seed, epoch), so (a) all processes agree without
+        # communication (the reference's identical-seed guarantee,
+        # bucket.py:47-50) and (b) a mid-epoch resume can replay epoch E
+        # exactly without fast-forwarding through epochs 0..E-1.
+        if seed is None:
+            seed = int(np.random.SeedSequence().entropy % (2 ** 31 - 1))
+        self.seed = int(seed)
+        self.epoch = -1
+        self.bucket_prng = np.random.RandomState(self.seed)
+        # Separate sharding PRNG so bucket draws and rank sharding cannot
+        # desync across processes (reseeded per epoch in start_epoch).
+        self.sharding_prng = np.random.RandomState(self.seed)
 
     # -- setup --------------------------------------------------------------
 
@@ -154,7 +162,16 @@ class BucketManager:
         self.batch_total = len(ids) // self.batch_size
         return set(ids)
 
-    def start_epoch(self):
+    def start_epoch(self, epoch: Optional[int] = None):
+        """Start epoch `epoch` (default: the one after the last started).
+        Reseeds both PRNGs from (seed, epoch) — see __init__."""
+        from .datasets import mix_seed
+
+        self.epoch = self.epoch + 1 if epoch is None else int(epoch)
+        self.bucket_prng = np.random.RandomState(
+            mix_seed(self.seed, self.epoch, 1) % (2 ** 31 - 1))
+        self.sharding_prng = np.random.RandomState(
+            mix_seed(self.seed, self.epoch, 2) % (2 ** 31 - 1))
         local = self._local_ids()
         epoch: dict[Bucket, list] = {}
         leftovers: list = []

@@ -33,6 +33,19 @@ from .images import get_id_size_map, list_images, read_image
 PLACEHOLDER_TXT_PROMPT = "{TXT_PROMPT}"
 
 
+def mix_seed(*parts: int) -> int:
+    """Deterministic 63-bit hash of integer parts (FNV-style). Used to derive
+    per-(seed, epoch, item) RNGs so data randomness (crops, augments, cache
+    group picks, DreamBooth pairings) is reproducible across runs and across
+    pipeline threads — the role pl.seed_everything plays in the reference
+    (/root/reference/train.py:118-119), which global-`random` draws from
+    worker threads cannot provide."""
+    h = 0x9E3779B97F4A7C15
+    for p in parts:
+        h = ((h ^ (int(p) & 0x7FFFFFFFFFFFFFFF)) * 0x100000001B3) % (1 << 63)
+    return h
+
+
 @dataclass
 class Concept:
     path: Path
@@ -113,19 +126,28 @@ class ImagePromptDataset:
     """Fixed-resolution dataset; index carries the target size."""
 
     def __init__(self, concepts: list[Concept], center_crop: bool = False,
-                 augment_config=None, cache_file: Optional[Union[str, Path]] = None):
+                 augment_config=None, cache_file: Optional[Union[str, Path]] = None,
+                 seed: int = 0):
         self.dir_prompt_map = {Path(c.path): c.prompt for c in concepts}
         self.image_paths = list(list_images(*self.dir_prompt_map.keys()))
         self.center_crop = center_crop
         self.augment = AugmentTransforms(augment_config) if augment_config else None
         self.cache = LatentCache(cache_file) if cache_file is not None else None
+        self.seed = int(seed)
+        # epoch is set by the pipeline each pass so per-item draws vary across
+        # epochs but replay exactly on resume (mid-epoch resume fidelity)
+        self.epoch = 0
 
     def __len__(self) -> int:
         return len(self.image_paths) if self.cache is None else self.cache.total_entries
 
+    def _item_rng(self, index: Index) -> random.Random:
+        return random.Random(mix_seed(self.seed, self.epoch, index.value))
+
     def __getitem__(self, index: Index) -> ItemType:
+        rng = self._item_rng(index)
         if self.cache is not None:
-            group = random.randint(0, self.cache.aug_group_size - 1)
+            group = rng.randint(0, self.cache.aug_group_size - 1)
             return CacheItem(
                 id=index.value,
                 latent=self.cache.latent(index.value, group),
@@ -134,7 +156,7 @@ class ImagePromptDataset:
         path = self.image_paths[index.value]
         return Item(
             id=index.value,
-            image=self._read_and_transform(path, index.size),
+            image=self._read_and_transform(path, index.size, rng),
             prompt=self.get_prompt(path),
         )
 
@@ -149,30 +171,31 @@ class ImagePromptDataset:
             raise FileNotFoundError(f'Image "{path}" has no corresponding prompt txt')
         return prompt.replace(PLACEHOLDER_TXT_PROMPT, txt_path.read_text())
 
-    def _crop(self, img: Image.Image, cw: int, ch: int) -> Image.Image:
+    def _crop(self, img: Image.Image, cw: int, ch: int,
+              rng: random.Random) -> Image.Image:
         if self.center_crop:
             left = (img.width - cw) // 2
             top = (img.height - ch) // 2
         else:
-            left = random.randint(0, max(img.width - cw, 0))
-            top = random.randint(0, max(img.height - ch, 0))
+            left = rng.randint(0, max(img.width - cw, 0))
+            top = rng.randint(0, max(img.height - ch, 0))
         return img.crop((left, top, left + cw, top + ch))
 
-    def _maybe_augment(self, img: Image.Image) -> Image.Image:
+    def _maybe_augment(self, img: Image.Image, rng: random.Random) -> Image.Image:
         if self.augment is None:
             return img
         w, h = img.size
-        img = self.augment(img)
+        img = self.augment(img, rng)
         if img.size != (w, h):
             img = img.resize((w, h), Image.BICUBIC)
         return img
 
-    def _crop_fracs(self) -> tuple[float, float]:
+    def _crop_fracs(self, rng: random.Random) -> tuple[float, float]:
         if self.center_crop:
             return 0.5, 0.5
-        return random.random(), random.random()
+        return rng.random(), rng.random()
 
-    def _native_transform(self, path: Path, cw: int, ch: int):
+    def _native_transform(self, path: Path, cw: int, ch: int, rng: random.Random):
         """Whole decode+resize+crop+normalize in one native call (GIL
         released) when the C++ pipeline is built and no augmentation is
         configured; returns None to fall back to PIL."""
@@ -182,12 +205,13 @@ class ImagePromptDataset:
 
         if not native_image.available():
             return None
-        fx, fy = self._crop_fracs()
+        fx, fy = self._crop_fracs(rng)
         return native_image.decode_resize_crop(path, cw, ch, fx, fy)
 
-    def _read_and_transform(self, path: Path, size: Size) -> np.ndarray:
+    def _read_and_transform(self, path: Path, size: Size,
+                            rng: random.Random) -> np.ndarray:
         dim = size[0]
-        native = self._native_transform(path, dim, dim)
+        native = self._native_transform(path, dim, dim, rng)
         if native is not None:
             return native
         img = read_image(path)
@@ -195,8 +219,8 @@ class ImagePromptDataset:
         scale = dim / min(img.size)
         img = img.resize((max(round(img.width * scale), dim),
                           max(round(img.height * scale), dim)), Image.LANCZOS)
-        img = self._crop(img, dim, dim)
-        img = self._maybe_augment(img)
+        img = self._crop(img, dim, dim, rng)
+        img = self._maybe_augment(img, rng)
         return _to_array(img)
 
 
@@ -221,16 +245,17 @@ class AspectDataset(ImagePromptDataset):
         scale = max(w_d / w, h_d / h)
         return (max(int(round(w * scale)), w_d), max(int(round(h * scale)), h_d))
 
-    def _read_and_transform(self, path: Path, size: Size) -> np.ndarray:
+    def _read_and_transform(self, path: Path, size: Size,
+                            rng: random.Random) -> np.ndarray:
         if not self.debug:
-            native = self._native_transform(path, size[0], size[1])
+            native = self._native_transform(path, size[0], size[1], rng)
             if native is not None:
                 return native
         img = read_image(path)
         w_t, h_t = self.preserve_ratio_size(img.size, size)
         img = img.resize((w_t, h_t), Image.LANCZOS)
-        img = self._crop(img, size[0], size[1])
-        img = self._maybe_augment(img)
+        img = self._crop(img, size[0], size[1], rng)
+        img = self._maybe_augment(img, rng)
         if self.debug:
             print(f"arb: {path.name} -> resize ({w_t},{h_t}) crop {size}")
         return _to_array(img)
@@ -242,6 +267,15 @@ class DBDataset:
     def __init__(self, instance_set: ImagePromptDataset, class_set: ImagePromptDataset):
         self.instance_set = instance_set
         self.class_set = class_set
+
+    @property
+    def epoch(self) -> int:
+        return self.instance_set.epoch
+
+    @epoch.setter
+    def epoch(self, value: int) -> None:
+        self.instance_set.epoch = value
+        self.class_set.epoch = value
 
     def __len__(self) -> int:
         return len(self.instance_set)

@@ -50,6 +50,7 @@ def get_dataset(config: Config, use_cache: bool = True):
         "center_crop": config.data.get("center_crop", False),
         "augment_config": config.get("augment"),
         "cache_file": config.data.get("cache") if use_cache else None,
+        "seed": int(config.get("seed") or 0),
     }
     if arb and config.aspect_ratio_bucket.get("debug"):
         params["debug"] = True
@@ -72,7 +73,8 @@ def get_sampler(dataset, config: Config, world_size: int, global_rank: int):
     prior = config.prior_preservation.get("enabled", False)
     if not config.aspect_ratio_bucket.get("enabled", False):
         sampler_type = ConstantSizeSamplerDB if prior else ConstantSizeSampler
-        return sampler_type(dataset, config.data.resolution, world_size, global_rank)
+        return sampler_type(dataset, config.data.resolution, world_size,
+                            global_rank, seed=config.get("seed"))
     sampler_type = AspectSamplerDB if prior else AspectSampler
     return sampler_type(
         data_source=dataset,
@@ -128,6 +130,22 @@ class DataPipeline:
         self._uncond_ids = None
         if tokenizer is not None:
             self._uncond_ids = tokenizer([""])
+        self._epoch = 0
+        self._skip_batches = 0
+
+    def set_epoch(self, epoch: int, skip_batches: int = 0) -> None:
+        """Pin the epoch index the next ``__iter__`` pass will use (and
+        optionally fast-forward `skip_batches` index batches without decoding
+        them) — the mid-epoch resume hook. Without a call, passes
+        auto-increment from 0 (torch DistributedSampler.set_epoch analogue)."""
+        self._epoch = int(epoch)
+        self._skip_batches = int(skip_batches)
+
+    def _apply_epoch(self, epoch: int) -> None:
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = epoch
+        if hasattr(self.sampler, "epoch"):
+            self.sampler.epoch = epoch
 
     def __len__(self) -> int:
         return len(self.sampler) // self.batch_size
@@ -150,6 +168,11 @@ class DataPipeline:
             yield chunk
 
     def __iter__(self) -> Iterator[dict]:
+        self._apply_epoch(self._epoch)
+        skip = self._skip_batches
+        self._skip_batches = 0
+        self._epoch += 1  # next pass defaults to the following epoch
+
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         stop = threading.Event()
@@ -176,6 +199,8 @@ class DataPipeline:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     pending: deque = deque()
                     batches = self._index_batches()
+                    for _ in range(skip):  # mid-epoch resume: indices only
+                        next(batches, None)
                     for idx_batch in itertools.islice(batches, window):
                         pending.append(pool.submit(self._load_batch, idx_batch))
                     while pending:

@@ -14,7 +14,7 @@ from typing import Iterator
 
 from . import Size
 from .bucket import BucketManager, get_gen_bucket_params
-from .datasets import AspectDataset, DBDataset, ImagePromptDataset, Index
+from .datasets import AspectDataset, DBDataset, ImagePromptDataset, Index, mix_seed
 
 
 class ConstantSizeSampler:
@@ -23,9 +23,10 @@ class ConstantSizeSampler:
     process strides the index space)."""
 
     def __init__(self, data_source: ImagePromptDataset, size: int,
-                 world_size: int = 1, global_rank: int = 0):
+                 world_size: int = 1, global_rank: int = 0, seed=None):
         self._indices = range(global_rank, len(data_source), world_size)
         self.size = size
+        self.epoch = 0  # draw-free sampler; attr kept for pipeline uniformity
 
     def __iter__(self) -> Iterator[Index]:
         s = (self.size, self.size)
@@ -38,15 +39,20 @@ class ConstantSizeSampler:
 
 class ConstantSizeSamplerDB:
     def __init__(self, data_source: DBDataset, size: int,
-                 world_size: int = 1, global_rank: int = 0):
+                 world_size: int = 1, global_rank: int = 0, seed=None):
         self._indices = range(global_rank, len(data_source.instance_set), world_size)
         self._class_len = len(data_source.class_set)
         self.size = size
+        self.seed = int(seed or 0)
+        self.epoch = 0
 
     def __iter__(self):
+        # Class pairings are a pure function of (seed, epoch): reproducible
+        # across runs and replayable on mid-epoch resume.
+        rng = random.Random(mix_seed(self.seed, self.epoch, 0xDB))
         s = (self.size, self.size)
         for i in self._indices:
-            yield Index(i, s), Index(random.randint(0, self._class_len - 1), s)
+            yield Index(i, s), Index(rng.randint(0, self._class_len - 1), s)
 
     def __len__(self) -> int:
         return len(self._indices)
@@ -60,14 +66,17 @@ class AspectSampler:
         self.skipped = manager.put_in(data_source.id_size_map, bucket_config.max_aspect_error)
         self.bucket_manager = manager
         self._batch_size = batch_size
+        self.epoch: int | None = None  # None -> auto-increment per pass
 
     def __iter__(self) -> Iterator[Index]:
-        for batch, size in self.bucket_manager.generator():
+        self.bucket_manager.start_epoch(self.epoch)
+        while not self.bucket_manager.epoch_empty:
+            batch, size = self.bucket_manager.get_batch()
             yield from (Index(i, size) for i in batch)
 
     def __len__(self) -> int:
         if self.bucket_manager.epoch_null:
-            self.bucket_manager.start_epoch()
+            self.bucket_manager.start_epoch(self.epoch)
         return self.bucket_manager.batch_total * self._batch_size
 
 
@@ -93,6 +102,9 @@ class AspectSamplerDB:
         for batch, size in class_manager.generator():
             self.class_bucket_id_map.setdefault(size, []).append(batch[0])
 
+        self._seed = int(seed or 0)
+        self.epoch: int | None = None  # None -> auto-increment per pass
+
     def _closest_class_ids(self, size: Size) -> list[int]:
         target = size[0] / size[1]
         closest = min(self.class_bucket_id_map,
@@ -100,12 +112,15 @@ class AspectSamplerDB:
         return self.class_bucket_id_map[closest]
 
     def __iter__(self):
-        for batch, size in self.bucket_manager.generator():
+        self.bucket_manager.start_epoch(self.epoch)
+        rng = random.Random(mix_seed(self._seed, self.bucket_manager.epoch, 0xDB))
+        while not self.bucket_manager.epoch_empty:
+            batch, size = self.bucket_manager.get_batch()
             for instance_id in batch:
                 class_ids = self.class_bucket_id_map.get(size) or self._closest_class_ids(size)
-                yield Index(instance_id, size), Index(random.choice(class_ids), size)
+                yield Index(instance_id, size), Index(rng.choice(class_ids), size)
 
     def __len__(self) -> int:
         if self.bucket_manager.epoch_null:
-            self.bucket_manager.start_epoch()
+            self.bucket_manager.start_epoch(self.epoch)
         return self.bucket_manager.batch_total * self._batch_size

@@ -23,6 +23,22 @@ from jax import lax
 
 Params = dict[str, jnp.ndarray]
 
+# --- LoRA dropout context ---------------------------------------------------
+# loralib applies dropout to the input of the LoRA branch during training
+# (/root/reference/modules/lora.py:12-27, lora_dropout arg). Rates are static
+# per target path (set once by the Trainer from the optim-target spec); the
+# PRNG key rides in the param dict under a reserved name, inserted by the
+# train step only — inference/sampling paths never set it, so dropout is
+# automatically off there (the analogue of module.eval()).
+LORA_DROPOUT_RNG = "__lora_dropout_rng__"
+_LORA_DROPOUT_RATES: dict[str, float] = {}
+
+
+def set_lora_dropout_rates(rates: dict[str, float]) -> None:
+    """Replace the static path->rate registry (component-relative paths)."""
+    _LORA_DROPOUT_RATES.clear()
+    _LORA_DROPOUT_RATES.update({k: float(v) for k, v in rates.items() if v})
+
 
 def linear(p: Params, name: str, x: jnp.ndarray) -> jnp.ndarray:
     """y = x @ W^T + b with W stored (out, in)."""
@@ -49,6 +65,14 @@ def _lora_delta(p: Params, name: str, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nda
     a = p.get(f"{name}.lora_A")
     if a is None:
         return y
+    rate = _LORA_DROPOUT_RATES.get(name, 0.0)
+    rng = p.get(LORA_DROPOUT_RNG)
+    if rate > 0.0 and rng is not None:
+        import zlib
+
+        layer_rng = jax.random.fold_in(rng, zlib.crc32(name.encode()))
+        keep = jax.random.bernoulli(layer_rng, 1.0 - rate, x.shape)
+        x = jnp.where(keep, x / (1.0 - rate), jnp.zeros((), x.dtype))
     b = p[f"{name}.lora_B"]
     alpha = p.get(f"{name}.lora_alpha")
     rank = a.shape[0]

@@ -90,11 +90,23 @@ def _attention_core(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
 
         # 1024 measured best at SD1.5 shapes on v5e (512: +16 ms/step,
         # 256: catastrophic, 2048: fails to fit). See PERF_NOTES.md.
-        pref = int(os.environ.get("SSDT_FLASH_BLOCK", 1024))
+        # SSDT_FLASH_BLOCK is honoured as a legacy alias of SSDT_SPLASH_BLOCK.
+        pref = int(os.environ.get("SSDT_SPLASH_BLOCK",
+                                  os.environ.get("SSDT_FLASH_BLOCK", 1024)))
         bq = pick_block(qh.shape[2], int(os.environ.get("SSDT_SPLASH_BQ", pref)))
         bk = pick_block(kh.shape[2], int(os.environ.get("SSDT_SPLASH_BKV", pref)))
         if bq is not None and bk is not None and min(bq, bk) >= 256:
-            return splash_attention(qh, kh, vh, scale, bq, bk)
+            # Independent backward-block knobs (round-3 sweep; default = fwd).
+            def _bwd(name: str, default: int, length: int) -> int | None:
+                return pick_block(length, int(os.environ.get(name, default)))
+
+            bwd = (_bwd("SSDT_SPLASH_BQ_DKV", bq, qh.shape[2]),
+                   _bwd("SSDT_SPLASH_BKV_DKV", bk, kh.shape[2]),
+                   _bwd("SSDT_SPLASH_BQ_DQ", bq, qh.shape[2]),
+                   _bwd("SSDT_SPLASH_BKV_DQ", bk, kh.shape[2]))
+            if any(b is None for b in bwd):
+                bwd = (bq, bk, bq, bk)
+            return splash_attention(qh, kh, vh, scale, bq, bk, tuple(bwd))
         # ARB bucket lengths are multiples of 64, not always of a usable
         # block — pad to the block grid with masked keys rather than fall
         # back to O(L^2)-memory XLA attention (which OOMs at batch 8).

@@ -1,7 +1,8 @@
 """Splash-attention wrapper: the TPU self-attention kernel for UNet shapes.
 
-Replaces the older ``flash_attention`` pallas kernel for long self-attention
-(the reference's xformers role, ``/root/reference/modules/model.py:187-188``).
+The TPU self-attention kernel (the reference's xformers role,
+``/root/reference/modules/model.py:187-188``); replaced the stock
+``pallas.ops.tpu.flash_attention`` wrapper in round 2.
 Measured on v5e at SD1.5 shapes (B8 H8 L4096 D40): splash with the UNPADDED
 head dim and the non-fused backward is ~8% faster end-to-end than the stock
 kernel at D padded to 128, and it avoids the stock wrapper's fp32
@@ -26,7 +27,8 @@ from jax.experimental.pallas.ops.tpu.splash_attention import (
 
 @functools.lru_cache(maxsize=32)
 def _make_kernel(num_heads: int, q_len: int, kv_len: int, block_q: int,
-                 block_kv: int, kv_valid: int = 0):
+                 block_kv: int, kv_valid: int = 0,
+                 bwd_blocks: tuple[int, int, int, int] | None = None):
     """kv_valid > 0 marks a right-padded KV: keys >= kv_valid are masked out
     (ARB bucket sequence lengths are multiples of 64, not always of a usable
     block size — padding to the block grid keeps every bucket on the kernel
@@ -40,13 +42,18 @@ def _make_kernel(num_heads: int, q_len: int, kv_len: int, block_q: int,
     else:
         mask = _sm.MultiHeadMask([_sm.FullMask((q_len, kv_len))
                                   for _ in range(num_heads)])
+    # Backward blocks are tunable independently of the forward pair — the
+    # dq/dkv kernels have different arithmetic intensity than the fwd one
+    # (round-3 sweep, PERF_NOTES.md).
+    bq_dkv, bkv_dkv, bq_dq, bkv_dq = bwd_blocks or (block_q, block_kv,
+                                                    block_q, block_kv)
     sizes = _sk.BlockSizes(
         block_q=block_q, block_kv=block_kv, block_kv_compute=block_kv,
-        block_q_dkv=block_q, block_kv_dkv=block_kv,
-        block_kv_dkv_compute=block_kv,
+        block_q_dkv=bq_dkv, block_kv_dkv=bkv_dkv,
+        block_kv_dkv_compute=bkv_dkv,
         # separate dq/dkv kernels: the fused backward measured ~25% slower
         # at these shapes (it serialises the dq accumulation)
-        block_q_dq=block_q, block_kv_dq=block_kv,
+        block_q_dq=bq_dq, block_kv_dq=bkv_dq,
         use_fused_bwd_kernel=False,
     )
     # The kernel pytree holds concrete mask-info arrays. Build them eagerly
@@ -59,7 +66,12 @@ def _make_kernel(num_heads: int, q_len: int, kv_len: int, block_q: int,
 
 def pick_block(length: int, preferred: int = 512) -> int | None:
     """Largest power-of-two block <= preferred that divides `length`."""
-    b = preferred
+    # Env-knob sweeps may pass non-power-of-two preferences (e.g. 768);
+    # start from the largest power of two <= preferred so the divisibility
+    # walk probes 512/256/128 instead of 768/384/192.
+    b = 128
+    while b * 2 <= preferred:
+        b *= 2
     while b >= 128:
         if length % b == 0:
             return b
@@ -68,11 +80,17 @@ def pick_block(length: int, preferred: int = 512) -> int | None:
 
 
 def splash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                     scale: float, block_q: int, block_kv: int) -> jnp.ndarray:
-    """q, k, v: (B, H, L, D) bf16/f32 -> (B, H, Lq, D). Non-causal."""
+                     scale: float, block_q: int, block_kv: int,
+                     bwd_blocks: tuple[int, int, int, int] | None = None
+                     ) -> jnp.ndarray:
+    """q, k, v: (B, H, L, D) bf16/f32 -> (B, H, Lq, D). Non-causal.
+
+    ``bwd_blocks``: optional (block_q_dkv, block_kv_dkv, block_q_dq,
+    block_kv_dq) override; defaults to the forward pair.
+    """
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    kernel = _make_kernel(h, lq, lk, block_q, block_kv)
+    kernel = _make_kernel(h, lq, lk, block_q, block_kv, bwd_blocks=bwd_blocks)
     qs = q * jnp.asarray(scale, q.dtype)
     return jax.vmap(kernel)(qs, k, v)
 

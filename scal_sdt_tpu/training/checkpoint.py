@@ -80,12 +80,19 @@ def checkpoint_state_dict(state: TrainState, frozen: dict) -> tuple[dict, dict]:
 
 
 def save_checkpoint(path: Path, state: TrainState, frozen: dict,
-                    save_train_state: bool = True):
-    """Gather (collectively) on every process; write from process 0 only."""
+                    save_train_state: bool = True,
+                    loop_state: Optional[dict] = None):
+    """Gather (collectively) on every process; write from process 0 only.
+
+    ``loop_state`` ({epoch, batch_in_epoch}) rides in the metadata so a
+    resume can fast-forward the data pipeline mid-epoch (Lightning restores
+    the loop the same way, /root/reference/train.py:134)."""
     import jax
 
     path = Path(path)
     tensors, meta = checkpoint_state_dict(state, frozen)
+    if loop_state:
+        meta.update({k: int(v) for k, v in loop_state.items()})
 
     host_extra = None
     if save_train_state:
@@ -114,6 +121,15 @@ def load_checkpoint_tensors(path: Path) -> tuple[dict, dict]:
     return tensors, meta
 
 
+def load_loop_state(path: Path) -> dict:
+    """{epoch, batch_in_epoch} from the checkpoint metadata (None when the
+    checkpoint predates loop-state persistence)."""
+    md = load_metadata(path) or {}
+    meta = json.loads(md.get("json", "{}"))
+    return {"epoch": meta.get("epoch"),
+            "batch_in_epoch": meta.get("batch_in_epoch")}
+
+
 def split_checkpoint(tensors: dict, meta: dict) -> tuple[dict, Optional[dict]]:
     """-> (trainable_params, ema_state_dict or None)."""
     trainable = {k: v for k, v in tensors.items() if not k.startswith("unet_ema.")}
@@ -130,17 +146,33 @@ def split_checkpoint(tensors: dict, meta: dict) -> tuple[dict, Optional[dict]]:
 
 
 def restore_train_state(path: Path, template_state: TrainState) -> TrainState:
-    """Exact resume: tensors from the ckpt + opt/rng/step from .trainstate."""
-    import jax.numpy as jnp
+    """Exact resume: tensors from the ckpt + opt/rng/step from .trainstate.
+
+    Restored arrays are placed with the TEMPLATE's shardings — resuming onto
+    different shardings would compile a different XLA program whose reduction
+    order perturbs the trajectory at the last few ulps, breaking bit-exact
+    resume parity. All placements ride in TWO pytree-level device_put calls:
+    per-leaf calls each pay a dispatch round-trip (~0.5 s/op on
+    remote-attached TPUs — 600+ leaves would stall resume for minutes)."""
+    import jax
     from flax import serialization
+
+    import jax.numpy as jnp
 
     tensors, meta = load_checkpoint_tensors(path)
     trainable_np, ema_sd = split_checkpoint(tensors, meta)
 
     trainable = dict(template_state.trainable)
+    sharded = {k: v for k, v in trainable_np.items()
+               if k in trainable and isinstance(trainable[k], jax.Array)}
+    put = jax.device_put(
+        sharded, {k: trainable[k].sharding for k in sharded})
     loaded = 0
     for k in trainable:
-        if k in trainable_np:
+        if k in sharded:
+            trainable[k] = put[k]
+            loaded += 1
+        elif k in trainable_np:
             trainable[k] = jnp.asarray(trainable_np[k])
             loaded += 1
     logger.info(f"Restored {loaded}/{len(trainable)} trainable params")
@@ -152,16 +184,25 @@ def restore_train_state(path: Path, template_state: TrainState) -> TrainState:
     opt_state, rng, step = template_state.opt_state, template_state.rng, template_state.step
     ts_path = Path(str(path) + ".trainstate")
     if ts_path.exists():
-        import jax
-
         host_template = jax.tree.map(
             lambda x: np.asarray(x),
             {"opt_state": template_state.opt_state, "step": template_state.step,
              "rng": template_state.rng})
         restored = serialization.from_bytes(host_template, ts_path.read_bytes())
-        opt_state = jax.tree.map(jnp.asarray, restored["opt_state"])
-        step = jnp.asarray(restored["step"])
-        rng = jnp.asarray(restored["rng"])
+        tmpl_tree = {"opt_state": template_state.opt_state,
+                     "step": template_state.step, "rng": template_state.rng}
+        tmpl_leaves, treedef = jax.tree.flatten(tmpl_tree)
+        rest_leaves = treedef.flatten_up_to(restored)
+        shardings = [t.sharding if isinstance(t, jax.Array) else None
+                     for t in tmpl_leaves]
+        idx = [i for i, s in enumerate(shardings) if s is not None]
+        put = jax.device_put([np.asarray(rest_leaves[i]) for i in idx],
+                             [shardings[i] for i in idx])
+        out_leaves = [jnp.asarray(v) for v in rest_leaves]
+        for i, v in zip(idx, put):
+            out_leaves[i] = v
+        out = jax.tree.unflatten(treedef, out_leaves)
+        opt_state, step, rng = out["opt_state"], out["step"], out["rng"]
         logger.info(f"Restored optimizer state at step {int(np.asarray(step))}")
 
     return TrainState(step=step, trainable=trainable, opt_state=opt_state,
@@ -223,13 +264,14 @@ class CheckpointManager:
             return True  # epoch cadence checked by caller (epoch % n == 0)
         return False
 
-    def save(self, state: TrainState, frozen: dict, metrics: dict) -> Path:
+    def save(self, state: TrainState, frozen: dict, metrics: dict,
+             loop_state: Optional[dict] = None) -> Path:
         """Collective on multi-host meshes (gathers shards); writes, prunes
         and persists retention state on process 0 only."""
         import jax
 
         path = self.run_dir / (self._format_name(metrics) + ".safetensors")
-        save_checkpoint(path, state, frozen)
+        save_checkpoint(path, state, frozen, loop_state=loop_state)
         if jax.process_index() != 0:
             return path
         logger.info(f"Saved checkpoint {path}")

@@ -24,7 +24,7 @@ import optax
 from ..conf import Config
 from ..diffusion.schedule import NoiseSchedule
 from ..models.clip import CLIPTextConfig, clip_text_apply
-from ..models.functional import Params
+from ..models.functional import LORA_DROPOUT_RNG, Params
 from ..models.unet import UNetConfig, unet_apply
 from ..models.vae import VAEConfig, encoder_apply, sample_latents
 from .ema import EMAState, ema_init, ema_update
@@ -120,7 +120,7 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
       'uncond_ids' (1,L) int32 — empty-prompt ids (for uncond.cond='eos')
     """
     dt = spec.compute_dtype
-    rng_latent, rng_uncond, rng_noise, rng_t = jax.random.split(rng, 4)
+    rng_latent, rng_uncond, rng_noise, rng_t, rng_lora = jax.random.split(rng, 5)
 
     # --- latents -----------------------------------------------------------
     if "latents" in batch:
@@ -135,6 +135,7 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
         conds = batch["conds"].astype(dt)
     else:
         te_params = _merged_component(trainable, frozen, TE_PREFIX, dt)
+        te_params[LORA_DROPOUT_RNG] = rng_lora
         input_ids = batch["input_ids"]
         if spec.uncond_enabled and spec.uncond_mode == "eos":
             uncond_ids = jnp.broadcast_to(batch["uncond_ids"], input_ids.shape)
@@ -153,6 +154,7 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
     noisy = spec.schedule.add_noise(latents, noise, timesteps)
 
     unet_params = _merged_component(trainable, frozen, UNET_PREFIX, dt)
+    unet_params[LORA_DROPOUT_RNG] = rng_lora
     pred = unet_apply(unet_params, noisy, timesteps, conds, spec.unet_config,
                       remat=spec.remat)
 

@@ -58,6 +58,15 @@ class Trainer:
         self.config = config
         self.run_dir = Path(run_dir)
 
+        # pl.seed_everything analogue (reference train.py:118-119): data-path
+        # randomness is per-item seeded (data/datasets.mix_seed), but stray
+        # global draws (e.g. user augment plugins) get determinism too.
+        import random as py_random
+
+        _seed = int(config.get("seed") or 0)
+        py_random.seed(_seed)
+        np.random.seed(_seed % (2 ** 32 - 1))
+
         if models is None:
             from ..convert.loader import load_components
 
@@ -103,6 +112,18 @@ class Trainer:
                 lora = init_lora_params(lora_rng, component_params[comp], res.lora)
                 component_params[comp].update({k: np.asarray(v) for k, v in lora.items()})
                 logger.info(f"Injected {len(res.lora)} LoRA modules into {comp}")
+
+        # LoRA dropout (loralib's lora_dropout, reference modules/lora.py:21):
+        # static per-path rates; the step threads a PRNG key to activate them
+        # during training only (models/functional._lora_delta).
+        from ..models.functional import set_lora_dropout_rates
+
+        lora_dropout = {path: spec.dropout
+                        for res in self.resolutions.values()
+                        for path, spec in res.lora.items() if spec.dropout}
+        set_lora_dropout_rates(lora_dropout)
+        if lora_dropout:
+            logger.info(f"LoRA dropout active on {len(lora_dropout)} modules")
 
         # -- trainable / frozen partition -----------------------------------
         trainable: dict = {}
@@ -172,6 +193,12 @@ class Trainer:
         self.ckpt = CheckpointManager(self.run_dir, config.checkpoint)
         self._writers = self._build_loggers()
         self.global_step = 0
+        # Epoch cursor for mid-epoch resume (Lightning restores the loop
+        # mid-epoch, /root/reference/train.py:127-134; we persist
+        # {epoch, batch_in_epoch} in the checkpoint and fast-forward the
+        # pipeline on resume so no data is replayed or skipped).
+        self.epoch_cursor = 0
+        self.batch_in_epoch = 0
 
     # ------------------------------------------------------------------ io
 
@@ -206,9 +233,19 @@ class Trainer:
     # ---------------------------------------------------------------- loop
 
     def resume(self, ckpt_path: Path):
+        from .checkpoint import load_loop_state
+
         self.state = restore_train_state(Path(ckpt_path), self.state)
         self.global_step = int(np.asarray(self.state.step))
-        logger.info(f"Resumed at step {self.global_step}")
+        loop = load_loop_state(Path(ckpt_path))
+        if loop.get("epoch") is not None:
+            self.epoch_cursor = int(loop["epoch"])
+            self.batch_in_epoch = int(loop.get("batch_in_epoch") or 0)
+        else:  # pre-round-3 checkpoint: epoch-boundary approximation
+            self.epoch_cursor = self.global_step // max(self.steps_per_epoch, 1)
+            self.batch_in_epoch = 0
+        logger.info(f"Resumed at step {self.global_step} "
+                    f"(epoch {self.epoch_cursor}, batch {self.batch_in_epoch})")
 
     def _device_batch(self, batch: dict) -> dict:
         out = {}
@@ -255,11 +292,15 @@ class Trainer:
         prof_dir = str(prof.get("dir") or (self.run_dir / "profile"))
         prof_active = False
 
-        epoch = self.global_step // max(self.steps_per_epoch, 1)
+        epoch = self.epoch_cursor
         last_metrics: dict = {}
         t0 = time.perf_counter()
         with self.mesh:
             while epoch < max_epochs:
+                self.epoch_cursor = epoch
+                # Mid-epoch resume: replay epoch `epoch` deterministically and
+                # skip the batches the checkpointed run already consumed.
+                self.pipeline.set_epoch(epoch, skip_batches=self.batch_in_epoch)
                 for batch in self.pipeline:
                     if prof_enabled and not prof_active and self.global_step == prof_start:
                         jax.profiler.start_trace(prof_dir)
@@ -268,6 +309,7 @@ class Trainer:
                     dev_batch = self._device_batch(batch)
                     self.state, metrics = self.train_step(self.state, self.frozen, dev_batch)
                     self.global_step += 1
+                    self.batch_in_epoch += 1
 
                     if prof_active and self.global_step >= prof_start + prof_steps:
                         jax.block_until_ready(metrics["train_loss"])
@@ -318,6 +360,8 @@ class Trainer:
                         return last_metrics
 
                 epoch += 1
+                self.batch_in_epoch = 0
+                self.epoch_cursor = epoch
                 if (self.ckpt.every_n_epochs and epoch % int(self.ckpt.every_n_epochs) == 0):
                     self._save(epoch, last_metrics)
 
@@ -327,7 +371,9 @@ class Trainer:
 
     def _save(self, epoch: int, metrics: dict):
         all_metrics = {"epoch": epoch, "step": self.global_step, **metrics}
-        self.ckpt.save(self.state, self.frozen, all_metrics)
+        self.ckpt.save(self.state, self.frozen, all_metrics,
+                       loop_state={"epoch": epoch,
+                                   "batch_in_epoch": self.batch_in_epoch})
 
     # ------------------------------------------------------------- sampling
 
