@@ -52,12 +52,16 @@ def main():
 
     # Best measured config on v5e-1: no remat + bf16 Adam moments fits in
     # 16 GB HBM and avoids all recompute (see PERF_NOTES.md for the matrix).
+    # SSDT_BENCH_EMA=1 measures BASELINE workload 4's in-step EMA cost
+    # (reference default is ema.enabled: false, __reserved_default__.yaml:65).
+    EMA = os.environ.get("SSDT_BENCH_EMA", "0") == "1"
+
     config = merge(default(), Config({
         "batch_size": BATCH,
         "gradient_checkpointing": {"1": True, "0": False, "high": "high"}[
             os.environ.get("SSDT_BENCH_REMAT", "0")],
         "trainer": {"precision": "bf16", "mesh": {"data": None, "fsdp": 1}},
-        "ema": {"enabled": False},
+        "ema": {"enabled": EMA, "decay": 0.9999},
         "optimizer": {
             "name": os.environ.get("SSDT_BENCH_OPT", "adamw"),
             "moment_dtype": os.environ.get("SSDT_BENCH_MOMENT", "bf16"),
@@ -75,6 +79,23 @@ def main():
         load_optim_target("full_unet"), params.keys(), [])
     labels = group_labels(resolutions)
     overrides = {f"g{i}": g.optimizer for i, g in enumerate(resolutions["unet"].groups)}
+
+    # Small-leaf slab packing (training/packing.py): default-on, like the
+    # trainer. SSDT_BENCH_PACK=0 measures the unpacked baseline.
+    from scal_sdt_tpu.training.packing import build_pack_spec, pack, slab_labels
+
+    pack_spec = None
+    if os.environ.get("SSDT_BENCH_PACK", "1") == "1":
+        pack_spec = build_pack_spec(trainable, labels)
+        if pack_spec.slabs:
+            # params are device-resident: jit the pack (one program, no
+            # host round-trip, no per-leaf eager dispatch)
+            trainable = jax.jit(lambda p: pack(p, pack_spec))(trainable)
+            labels = {**{k: v for k, v in labels.items() if k in trainable},
+                      **slab_labels(pack_spec)}
+        else:
+            pack_spec = None
+
     tx, lr_fn = build_optimizer(config, labels, overrides, steps_per_epoch=1000,
                                 num_processes=jax.process_count())
 
@@ -83,14 +104,15 @@ def main():
 
     spec = StepSpec.from_config(config, unet_config, CLIPTextConfig.vit_l(),
                                 VAEConfig.sd15(), train_text_encoder=False)
-    step_fn = make_train_step(spec, tx, lr_fn, ema_enabled=False, donate=True)
+    step_fn = make_train_step(spec, tx, lr_fn, ema_enabled=EMA, donate=True,
+                              pack_spec=pack_spec)
 
     mesh = make_mesh(fsdp=1)
     rng = np.random.RandomState(0)
     with mesh:
         trainable = shard_params(mesh, trainable)
         state = init_train_state(jax.random.PRNGKey(1), trainable, tx,
-                                 ema_enabled=False, ema_decay=0.995)
+                                 ema_enabled=EMA, ema_decay=0.9999)
         frozen: dict = {}
         bs = batch_sharding(mesh)
         batch = {
@@ -117,7 +139,8 @@ def main():
 
     steps_per_sec = ITERS / dt
     print(json.dumps({
-        "metric": "sd15_unet_full_finetune_train_steps_per_sec_b8_512",
+        "metric": "sd15_unet_full_finetune_train_steps_per_sec_b8_512"
+                  + ("_ema" if EMA else ""),
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / 4.0, 4),

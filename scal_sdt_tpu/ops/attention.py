@@ -83,6 +83,11 @@ def _attention_core(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
         and not causal
         and qh.shape[2] >= _PALLAS_MIN_Q_LEN
         and kh.shape[2] >= _PALLAS_MIN_Q_LEN   # short-KV cross-attn: XLA wins
+        # VAE mid-block attention is single-head with D=512: splash blocks
+        # sized for UNet head dims (40-160) exceed the 16 MB scoped-VMEM
+        # budget (measured: 22 MB at block 1024). All trained components
+        # have D <= 160; the frozen VAE forward is fine as one XLA fusion.
+        and qh.shape[3] <= 256
         and jax.default_backend() == "tpu"
     )
     if use_pallas:

@@ -55,13 +55,23 @@ def _to_host(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def checkpoint_state_dict(state: TrainState, frozen: dict) -> tuple[dict, dict]:
+def checkpoint_state_dict(state: TrainState, frozen: dict,
+                          pack_spec=None) -> tuple[dict, dict]:
     """(flat tensors, metadata) for the tool-consumable checkpoint file.
 
-    Collective on multi-host meshes: call from every process."""
+    Collective on multi-host meshes: call from every process.
+
+    ``pack_spec`` (training/packing.py): the in-memory trainable/EMA dicts
+    may hold small leaves packed into slabs; the on-disk checkpoint always
+    stores natural reference-layout names, so tools and the format stay
+    unchanged."""
+    from .packing import unpack_host
+
     tensors: dict[str, np.ndarray] = {}
-    for k, v in state.trainable.items():
-        tensors[k] = _to_host(v)
+    for k, v in unpack_host(
+            {k: _to_host(v) for k, v in state.trainable.items()},
+            pack_spec).items():
+        tensors[k] = np.asarray(v)
     # stored LoRA alphas live in the frozen branch but belong in the ckpt
     # (reference registers them as buffers: modules/lora.py:24-26)
     for k, v in frozen.items():
@@ -70,10 +80,12 @@ def checkpoint_state_dict(state: TrainState, frozen: dict) -> tuple[dict, dict]:
 
     meta = {"step": int(np.asarray(state.step))}
     if state.ema is not None:
-        for k, v in state.ema.shadow.items():
+        shadow = unpack_host({k: _to_host(v) for k, v in state.ema.shadow.items()},
+                             pack_spec)
+        for k, v in shadow.items():
             # shadow keys are relative to the UNet, like torch named_parameters()
             rel = k[len(UNET_PREFIX) + 1:] if k.startswith(UNET_PREFIX + ".") else k
-            tensors[EMA_PREFIX + rel] = _to_host(v)
+            tensors[EMA_PREFIX + rel] = np.asarray(v)
         meta["ema_decay"] = float(np.asarray(state.ema.decay))
         meta["ema_num_updates"] = int(np.asarray(state.ema.num_updates))
     return tensors, meta
@@ -81,7 +93,8 @@ def checkpoint_state_dict(state: TrainState, frozen: dict) -> tuple[dict, dict]:
 
 def save_checkpoint(path: Path, state: TrainState, frozen: dict,
                     save_train_state: bool = True,
-                    loop_state: Optional[dict] = None):
+                    loop_state: Optional[dict] = None,
+                    pack_spec=None):
     """Gather (collectively) on every process; write from process 0 only.
 
     ``loop_state`` ({epoch, batch_in_epoch}) rides in the metadata so a
@@ -90,7 +103,7 @@ def save_checkpoint(path: Path, state: TrainState, frozen: dict,
     import jax
 
     path = Path(path)
-    tensors, meta = checkpoint_state_dict(state, frozen)
+    tensors, meta = checkpoint_state_dict(state, frozen, pack_spec=pack_spec)
     if loop_state:
         meta.update({k: int(v) for k, v in loop_state.items()})
 
@@ -145,7 +158,8 @@ def split_checkpoint(tensors: dict, meta: dict) -> tuple[dict, Optional[dict]]:
     return trainable, ema
 
 
-def restore_train_state(path: Path, template_state: TrainState) -> TrainState:
+def restore_train_state(path: Path, template_state: TrainState,
+                        pack_spec=None) -> TrainState:
     """Exact resume: tensors from the ckpt + opt/rng/step from .trainstate.
 
     Restored arrays are placed with the TEMPLATE's shardings — resuming onto
@@ -161,8 +175,18 @@ def restore_train_state(path: Path, template_state: TrainState) -> TrainState:
 
     tensors, meta = load_checkpoint_tensors(path)
     trainable_np, ema_sd = split_checkpoint(tensors, meta)
+    n_file = len(trainable_np)
 
     trainable = dict(template_state.trainable)
+    if pack_spec is not None:
+        # on-disk names are natural; the live state keeps small leaves in
+        # slabs — repack, backfilling partially-covered slabs from the
+        # template's current (host-fetched) slab values
+        from .packing import repack_host
+
+        tmpl_slabs = {k: np.asarray(trainable[k]) for k in pack_spec.slab_keys
+                      if k in trainable}
+        trainable_np = repack_host(trainable_np, pack_spec, tmpl_slabs)
     sharded = {k: v for k, v in trainable_np.items()
                if k in trainable and isinstance(trainable[k], jax.Array)}
     put = jax.device_put(
@@ -175,10 +199,19 @@ def restore_train_state(path: Path, template_state: TrainState) -> TrainState:
         elif k in trainable_np:
             trainable[k] = jnp.asarray(trainable_np[k])
             loaded += 1
-    logger.info(f"Restored {loaded}/{len(trainable)} trainable params")
+    logger.info(f"Restored {loaded}/{len(trainable)} trainable params "
+                f"({n_file} tensors on disk)")
 
     ema = template_state.ema
     if ema is not None and ema_sd is not None:
+        if pack_spec is not None:
+            from .packing import repack_host
+
+            tmpl_shadow = {k: np.asarray(v) for k, v in ema.shadow.items()
+                           if k in set(pack_spec.slab_keys)}
+            ema_sd = dict(ema_sd)
+            ema_sd["shadow_params"] = repack_host(
+                ema_sd["shadow_params"], pack_spec, tmpl_shadow)
         ema = ema_from_state_dict(ema_sd)
 
     opt_state, rng, step = template_state.opt_state, template_state.rng, template_state.step
@@ -265,13 +298,14 @@ class CheckpointManager:
         return False
 
     def save(self, state: TrainState, frozen: dict, metrics: dict,
-             loop_state: Optional[dict] = None) -> Path:
+             loop_state: Optional[dict] = None, pack_spec=None) -> Path:
         """Collective on multi-host meshes (gathers shards); writes, prunes
         and persists retention state on process 0 only."""
         import jax
 
         path = self.run_dir / (self._format_name(metrics) + ".safetensors")
-        save_checkpoint(path, state, frozen, loop_state=loop_state)
+        save_checkpoint(path, state, frozen, loop_state=loop_state,
+                        pack_spec=pack_spec)
         if jax.process_index() != 0:
             return path
         logger.info(f"Saved checkpoint {path}")

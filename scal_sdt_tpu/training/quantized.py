@@ -104,46 +104,127 @@ def _is_array(x) -> bool:
     return hasattr(x, "shape")
 
 
+def _min_8bit_size() -> int:
+    import os
+
+    return int(os.environ.get("SSDT_INT8_FUSED_MIN", 1 << 18))
+
+
+def _stores_int8(shape, min_size: int) -> bool:
+    """Whether a leaf's moments are stored int8 (vs plain fp32).
+
+    Mirrors bitsandbytes' ``min_8bit_size`` (its default: tensors under 4096
+    params use plain fp32 Adam). Our threshold is the fused-kernel viability
+    bound: leaves that would fall onto the unfused XLA dequant/requant path
+    are stored fp32 instead — measured 29 ms/step across the 459 sub-2^18
+    SD1.5 leaves (0.9% of params, 61 MB as fp32) vs ~2 ms as fp32 moments.
+    """
+    lead, minor, nb = _leaf_view(shape)
+    slab_ok = (lead + 256) * nb * 16 <= 8 * 1024 * 1024
+    return lead > 1 and slab_ok and lead * minor >= min_size
+
+
 def scale_by_adam_8bit(b1: float = 0.9, b2: float = 0.999,
-                       eps: float = 1e-8) -> optax.GradientTransformation:
-    """Drop-in for optax.scale_by_adam with int8 blockwise moment storage."""
+                       eps: float = 1e-8,
+                       min_8bit_size: int | None = None,
+                       ) -> optax.GradientTransformation:
+    """Drop-in for optax.scale_by_adam with int8 blockwise moment storage.
+
+    Leaves under ``min_8bit_size`` elements (default: env
+    ``SSDT_INT8_FUSED_MIN`` or 2^18) keep plain fp32 moments, like
+    bitsandbytes' same-named knob.
+    """
+
+    def min_size() -> int:
+        return _min_8bit_size() if min_8bit_size is None else min_8bit_size
 
     def init(params):
+        # 2-D payload/scale shapes, NOT (lead, nb, BLOCK): int8 tiles are
+        # (32, 128) over the last two dims, so a (lead, nb<32, 256) array is
+        # physically sublane-padded up to ~2.7x and every boundary reshape
+        # repacks it. The flat (lead, nb*256) layout is both dense and the
+        # exact shape the fused kernel consumes.
         mu_q, mu_s = {}, {}
         for k, v in params.items():
             if not _is_array(v):
                 continue
+            if not _stores_int8(v.shape, min_size()):
+                # fp32 moments in the natural leaf shape; no scale entry
+                mu_q[k] = jnp.zeros(v.shape, jnp.float32)
+                continue
             lead, _, nb = _leaf_view(v.shape)
-            mu_q[k] = jnp.zeros((lead, nb, BLOCK), jnp.int8)
-            mu_s[k] = jnp.zeros((lead, nb, 1), jnp.float32)
+            mu_q[k] = jnp.zeros((lead, nb * BLOCK), jnp.int8)
+            mu_s[k] = jnp.zeros((lead, nb), jnp.float32)
         nu_q = {k: v for k, v in mu_q.items()}
         nu_s = {k: v for k, v in mu_s.items()}
         return ScaleByAdam8bitState(jnp.zeros([], jnp.int32),
                                     mu_q, mu_s, nu_q, nu_s)
 
     def update(updates, state, params=None):
+        import os
+
         count = state.count + 1
         c = count.astype(jnp.float32)
         bc1 = 1.0 - b1 ** c
         bc2 = 1.0 - b2 ** c
+        inv_bc1, inv_bc2 = 1.0 / bc1, 1.0 / bc2
+
+        # Fused Pallas kernel (ops/adam8_fused.py) for leaves big enough to
+        # amortize a pallas_call: one VMEM-resident pass instead of separate
+        # dequant/update/requant XLA stages (3 extra fp32 HBM round-trips per
+        # moment). Small leaves stay on the XLA path — hundreds of tiny
+        # custom-calls would recreate the round-1 scheduling pathology.
+        use_fused = os.environ.get("SSDT_INT8_FUSED", "1") == "1"
+        interpret = jax.default_backend() != "tpu"
 
         new_updates, mu_q, mu_s, nu_q, nu_s = {}, {}, {}, {}, {}
         for k, g in updates.items():
             if not _is_array(g):
                 new_updates[k] = g
                 continue
+            if not _stores_int8(g.shape, min_size()):
+                # fp32-moment leaf (sub-threshold): plain fused-by-XLA Adam
+                g32 = g.astype(jnp.float32)
+                mu = b1 * state.mu_q[k] + (1.0 - b1) * g32
+                nu = b2 * state.nu_q[k] + (1.0 - b2) * jnp.square(g32)
+                out = (mu * inv_bc1) / (jnp.sqrt(nu * inv_bc2) + eps)
+                new_updates[k] = out.astype(g.dtype)
+                mu_q[k], nu_q[k] = mu, nu
+                continue
+            lead, minor, nb = _leaf_view(g.shape)
+            if use_fused and not interpret:
+                # Trailing-dim merges ONLY at the kernel boundary (free on
+                # TPU); the gradient goes in unpadded — see
+                # ops/adam8_fused.py for why this layout is load-bearing.
+                from ..ops.adam8_fused import adam8_fused_update
+
+                out2, mq, ms, nq, ns = adam8_fused_update(
+                    g.reshape(lead, minor).astype(jnp.float32),
+                    state.mu_q[k], state.mu_s[k],
+                    state.nu_q[k], state.nu_s[k],
+                    inv_bc1, inv_bc2, b1=b1, b2=b2, eps=eps)
+                new_updates[k] = out2.reshape(g.shape).astype(g.dtype)
+                mu_q[k], mu_s[k] = mq, ms
+                nu_q[k], nu_s[k] = nq, ns
+                continue
             g3 = _to_blocks(g).astype(jnp.float32)
-            mu = _dequantize_leaf(state.mu_q[k], state.mu_s[k])
-            nu = _dequantize_leaf(state.nu_q[k], state.nu_s[k])
+            mu = _dequantize_leaf(state.mu_q[k].reshape(lead, nb, BLOCK),
+                                  state.mu_s[k].reshape(lead, nb, 1))
+            nu = _dequantize_leaf(state.nu_q[k].reshape(lead, nb, BLOCK),
+                                  state.nu_s[k].reshape(lead, nb, 1))
             mu = b1 * mu + (1.0 - b1) * g3
             nu = b2 * nu + (1.0 - b2) * jnp.square(g3)
-            out = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+            out = (mu * inv_bc1) / (jnp.sqrt(nu * inv_bc2) + eps)
             # emit in the gradient dtype: bf16 output error (2^-8 relative)
             # is below the int8 moment error (2^-7), and the fp32 update
             # tree would add 3.4 GB peak on the 859M-param bench
             new_updates[k] = _from_blocks(out, g.shape).astype(g.dtype)
-            mu_q[k], mu_s[k] = _quantize_leaf(mu)
-            nu_q[k], nu_s[k] = _quantize_leaf(nu)
+            q3, s3 = _quantize_leaf(mu)
+            mu_q[k] = q3.reshape(lead, nb * BLOCK)
+            mu_s[k] = s3.reshape(lead, nb)
+            q3, s3 = _quantize_leaf(nu)
+            nu_q[k] = q3.reshape(lead, nb * BLOCK)
+            nu_s[k] = s3.reshape(lead, nb)
 
         return new_updates, ScaleByAdam8bitState(count, mu_q, mu_s, nu_q, nu_s)
 

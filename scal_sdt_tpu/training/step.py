@@ -173,7 +173,8 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
 
 
 def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
-                    lr_fn, ema_enabled: bool, donate: bool = True):
+                    lr_fn, ema_enabled: bool, donate: bool = True,
+                    pack_spec=None):
     """Build the train step: (state, frozen, batch) -> (state, metrics).
 
     Two XLA programs, dispatched back-to-back: (1) forward/backward producing
@@ -200,12 +201,26 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
             for k, v in trainable.items()
         }
 
+    # Small-leaf slab packing (training/packing.py): the state's trainable
+    # dict may hold hundreds of tiny leaves packed into a few 1-D slabs.
+    # Gradients are taken wrt the PACKED compute copy; `unpack` (custom VJP)
+    # restores natural shapes for the model and concatenates the cotangents
+    # back into slab gradients, so the optimizer/EMA/apply all run on the
+    # packed representation — one kernel per slab instead of one per leaf.
+    def _loss_packed(compute: Params, frozen: Params, batch: dict,
+                     rng: jax.Array, spec: StepSpec):
+        from .packing import unpack
+
+        return compute_loss(unpack(compute, pack_spec), frozen, batch, rng, spec)
+
+    loss_fn = compute_loss if pack_spec is None else _loss_packed
+
     @jax.jit
     def grad_step(trainable: Params, frozen: Params, batch: dict,
                   rng: jax.Array, step: jnp.ndarray):
         rng_i = jax.random.fold_in(rng, step)
         compute = _cast_compute(trainable) if use_compute else trainable
-        grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, metrics), grads = grad_fn(compute, frozen, batch, rng_i, spec)
         return grads, metrics
 

@@ -166,6 +166,25 @@ class Trainer:
             for group in res.groups:
                 overrides[f"g{g}"] = group.optimizer
                 g += 1
+        # -- small-leaf slab packing (training/packing.py) ------------------
+        # The update program is launch-bound per leaf on TPU; packing small
+        # leaves into per-(component, group) slabs turns hundreds of tiny
+        # optimizer/EMA/apply kernels into a handful. Escape hatch:
+        # trainer.param_packing: false.
+        from .packing import build_pack_spec, pack, slab_labels
+
+        self.pack_spec = None
+        if bool(config.trainer.get("param_packing", True)):
+            spec_candidate = build_pack_spec(trainable, labels)
+            if spec_candidate.slabs:
+                self.pack_spec = spec_candidate
+                trainable = pack(trainable, self.pack_spec, np_out=True)
+                labels = {**{k: v for k, v in labels.items() if k in trainable},
+                          **slab_labels(self.pack_spec)}
+                n_packed = len(self.pack_spec.packed_keys)
+                logger.info(f"Packed {n_packed} small leaves into "
+                            f"{len(self.pack_spec.slabs)} slab(s)")
+
         self.tx, self.lr_fn = build_optimizer(
             config, labels, overrides, steps_per_epoch, jax.process_count())
 
@@ -182,7 +201,8 @@ class Trainer:
         ema_enabled = bool(config.ema.get("enabled", False))
         self.train_step = make_train_step(
             self.spec, self.tx, self.lr_fn, ema_enabled,
-            donate=bool(config.trainer.get("donate_state", True)))
+            donate=bool(config.trainer.get("donate_state", True)),
+            pack_spec=self.pack_spec)
 
         rng, state_rng = jax.random.split(rng)
         self.state = init_train_state(
@@ -235,7 +255,8 @@ class Trainer:
     def resume(self, ckpt_path: Path):
         from .checkpoint import load_loop_state
 
-        self.state = restore_train_state(Path(ckpt_path), self.state)
+        self.state = restore_train_state(Path(ckpt_path), self.state,
+                                         pack_spec=self.pack_spec)
         self.global_step = int(np.asarray(self.state.step))
         loop = load_loop_state(Path(ckpt_path))
         if loop.get("epoch") is not None:
@@ -373,13 +394,23 @@ class Trainer:
         all_metrics = {"epoch": epoch, "step": self.global_step, **metrics}
         self.ckpt.save(self.state, self.frozen, all_metrics,
                        loop_state={"epoch": epoch,
-                                   "batch_in_epoch": self.batch_in_epoch})
+                                   "batch_in_epoch": self.batch_in_epoch},
+                       pack_spec=self.pack_spec)
 
     # ------------------------------------------------------------- sampling
+
+    def natural_trainable(self) -> dict:
+        """state.trainable with slabs expanded to natural per-leaf names
+        (host views for slab members, device arrays for big leaves)."""
+        from .packing import unpack_host
+
+        return unpack_host(self.state.trainable, self.pack_spec)
 
     def merged_inference_params(self) -> dict:
         """Current frozen+trainable view for sampling/export (LoRA factors
         stay as runtime deltas; unet_apply consumes them directly)."""
+        from .packing import unpack_host
+
         merged = dict(self.frozen)
-        merged.update(self.state.trainable)
+        merged.update(unpack_host(self.state.trainable, self.pack_spec))
         return merged

@@ -100,6 +100,6 @@ def test_e2e_params_move_only_on_emit(tmp_path, micro_steps, expect_moved):
                       models=tiny_models(), tokenizer=HashTokenizer())
     trainer.fit(max_steps_override=micro_steps)
     before = trainer.models.unet["conv_out.weight"]
-    after = np.asarray(trainer.state.trainable["unet.conv_out.weight"])
+    after = np.asarray(trainer.natural_trainable()["unet.conv_out.weight"])
     moved = float(np.abs(before - after).max()) > 0
     assert moved == expect_moved

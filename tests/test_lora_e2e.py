@@ -47,7 +47,7 @@ def lora_trained(tmp_path_factory):
 def test_only_lora_factors_train(lora_trained):
     trainer, metrics, _ = lora_trained
     assert np.isfinite(metrics["train_loss"])
-    for k in trainer.state.trainable:
+    for k in trainer.natural_trainable():
         assert k.endswith(".lora_A") or k.endswith(".lora_B"), k
     # base weights stay in frozen, alphas stored alongside
     assert any(k.endswith(".lora_alpha") for k in trainer.frozen)
@@ -55,8 +55,9 @@ def test_only_lora_factors_train(lora_trained):
 
 def test_lora_b_moves_from_zero(lora_trained):
     trainer, _, _ = lora_trained
-    b_keys = [k for k in trainer.state.trainable if k.endswith(".lora_B")]
-    moved = sum(float(np.abs(np.asarray(trainer.state.trainable[k])).max()) > 0
+    natural = trainer.natural_trainable()
+    b_keys = [k for k in natural if k.endswith(".lora_B")]
+    moved = sum(float(np.abs(np.asarray(natural[k])).max()) > 0
                 for k in b_keys)
     assert moved > 0, "no lora_B left zero-init after training"
 

@@ -124,7 +124,7 @@ def test_text_encoder_lora_trains_without_keyerror(te_trained):
     uses 'condition_model.encoder.' -> KeyError at Trainer init."""
     trainer, metrics = te_trained
     assert np.isfinite(metrics["train_loss"])
-    te_keys = [k for k in trainer.state.trainable
+    te_keys = [k for k in trainer.natural_trainable()
                if k.startswith("condition_model.encoder.")]
     assert te_keys, "no text-encoder params selected as trainable"
     assert all(k.endswith((".lora_A", ".lora_B")) for k in te_keys)
@@ -132,9 +132,10 @@ def test_text_encoder_lora_trains_without_keyerror(te_trained):
 
 def test_text_encoder_lora_factors_update(te_trained):
     trainer, _ = te_trained
-    a_keys = [k for k in trainer.state.trainable
+    natural = trainer.natural_trainable()
+    a_keys = [k for k in natural
               if k.startswith("condition_model.encoder.") and k.endswith(".lora_A")]
     moved = sum(
-        float(np.abs(np.asarray(trainer.state.trainable[k.replace(".lora_A", ".lora_B")])).max()) > 0
+        float(np.abs(np.asarray(natural[k.replace(".lora_A", ".lora_B")])).max()) > 0
         for k in a_keys)
     assert moved > 0, "text-encoder LoRA B factors never moved from zero"

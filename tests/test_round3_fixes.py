@@ -67,7 +67,7 @@ def _fit_lora_b(tmp, name: str, dropout: float) -> dict:
     trainer = Trainer(cfg, tmp / name / "run", models=tiny_models(),
                       tokenizer=HashTokenizer())
     trainer.fit(max_steps_override=1)
-    return {k: np.asarray(v) for k, v in trainer.state.trainable.items()
+    return {k: np.asarray(v) for k, v in trainer.natural_trainable().items()
             if k.endswith(".lora_B")}
 
 
@@ -198,10 +198,10 @@ def test_mid_epoch_resume_matches_continuous_run(tmp_path):
     assert resumed.epoch_cursor == 0 and resumed.batch_in_epoch == 3
     resumed.fit(max_steps_override=6)
 
-    for k in continuous.state.trainable:
+    cont_nat, res_nat = continuous.natural_trainable(), resumed.natural_trainable()
+    for k in cont_nat:
         np.testing.assert_array_equal(
-            np.asarray(continuous.state.trainable[k]),
-            np.asarray(resumed.state.trainable[k]), err_msg=k)
+            np.asarray(cont_nat[k]), np.asarray(res_nat[k]), err_msg=k)
 
 
 def test_multihost_cache_padding_covers_all_ids(tmp_path):

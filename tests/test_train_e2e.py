@@ -34,9 +34,10 @@ def test_loss_finite_and_logged(trained):
 
 def test_full_unet_target_trains_all_unet_params(trained):
     trainer, _, _ = trained
+    # packed slabs keep the component namespace (unet.__slab__.*)
     assert all(k.startswith("unet.") for k in trainer.state.trainable)
     n_unet = len([k for k in trainer.models.unet])
-    assert len(trainer.state.trainable) == n_unet
+    assert len(trainer.natural_trainable()) == n_unet
     # frozen holds VAE + text encoder
     assert any(k.startswith("vae.") for k in trainer.frozen)
     assert any(k.startswith("condition_model.encoder.") for k in trainer.frozen)
@@ -45,21 +46,24 @@ def test_full_unet_target_trains_all_unet_params(trained):
 def test_params_actually_update(trained):
     trainer, _, _ = trained
     before = trainer.models.unet["conv_out.weight"]
-    after = np.asarray(trainer.state.trainable["unet.conv_out.weight"])
+    after = np.asarray(trainer.natural_trainable()["unet.conv_out.weight"])
     assert np.abs(before - after).max() > 0
 
 
 def test_checkpoint_save_and_resume(trained):
     trainer, _, tmp = trained
     path = trainer.ckpt.save(trainer.state, trainer.frozen,
-                             {"step": trainer.global_step, "epoch": 0, "train_loss": 0.5})
+                             {"step": trainer.global_step, "epoch": 0, "train_loss": 0.5},
+                             pack_spec=trainer.pack_spec)
     assert path.exists()
 
     from scal_sdt_tpu.training.checkpoint import load_checkpoint_tensors, restore_train_state
 
     tensors, meta = load_checkpoint_tensors(path)
     assert meta["step"] == trainer.global_step
-    assert set(tensors.keys()) == set(trainer.state.trainable.keys())
+    # on-disk names are always natural (never slab keys)
+    assert set(tensors.keys()) == set(trainer.natural_trainable().keys())
+    assert not any("__slab__" in k for k in tensors)
 
     # fresh trainer, restore, verify state equality
     data = tmp / "data"
@@ -69,5 +73,5 @@ def test_checkpoint_save_and_resume(trained):
     fresh.resume(path)
     assert fresh.global_step == trainer.global_step
     np.testing.assert_allclose(
-        np.asarray(fresh.state.trainable["unet.conv_out.weight"]),
-        np.asarray(trainer.state.trainable["unet.conv_out.weight"]), rtol=0, atol=0)
+        np.asarray(fresh.natural_trainable()["unet.conv_out.weight"]),
+        np.asarray(trainer.natural_trainable()["unet.conv_out.weight"]), rtol=0, atol=0)
