@@ -82,17 +82,20 @@ def main():
 
     # Small-leaf slab packing (training/packing.py): default-on, like the
     # trainer. SSDT_BENCH_PACK=0 measures the unpacked baseline.
-    from scal_sdt_tpu.training.packing import build_pack_spec, pack, slab_labels
+    from scal_sdt_tpu.training.packing import build_pack_spec, pack, packed_labels
 
+    # SSDT_BENCH_PACK: 0 = off, 1 = slabs+stacks (default), slab = slabs only
+    pack_mode = os.environ.get("SSDT_BENCH_PACK", "1")
     pack_spec = None
-    if os.environ.get("SSDT_BENCH_PACK", "1") == "1":
-        pack_spec = build_pack_spec(trainable, labels)
-        if pack_spec.slabs:
+    if pack_mode != "0":
+        pack_spec = build_pack_spec(trainable, labels,
+                                    stack_big=pack_mode != "slab")
+        if pack_spec.nontrivial:
             # params are device-resident: jit the pack (one program, no
             # host round-trip, no per-leaf eager dispatch)
             trainable = jax.jit(lambda p: pack(p, pack_spec))(trainable)
             labels = {**{k: v for k, v in labels.items() if k in trainable},
-                      **slab_labels(pack_spec)}
+                      **packed_labels(pack_spec)}
         else:
             pack_spec = None
 

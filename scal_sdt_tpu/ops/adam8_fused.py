@@ -97,7 +97,8 @@ def adam8_fused_update(g2: jnp.ndarray, mu_q: jnp.ndarray, mu_s: jnp.ndarray,
                        interpret: bool = False):
     """One fused Adam step over a leaf's 2-D view.
 
-    g2: (lead, minor) fp32 gradient — the leaf with trailing dims merged,
+    g2: (lead, minor) gradient (fp32 or bf16 — cast to fp32 in VMEM; the
+    update comes back in g2's dtype) — the leaf with trailing dims merged,
     NOT padded; mu_q/nu_q: (lead, nb*256) int8 payloads; mu_s/nu_s:
     (lead, nb) fp32 absmax scales, nb = ceil(minor/256) <= 128;
     inv_bc1/inv_bc2: () fp32 bias corrections.

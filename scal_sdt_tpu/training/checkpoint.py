@@ -184,8 +184,8 @@ def restore_train_state(path: Path, template_state: TrainState,
         # template's current (host-fetched) slab values
         from .packing import repack_host
 
-        tmpl_slabs = {k: np.asarray(trainable[k]) for k in pack_spec.slab_keys
-                      if k in trainable}
+        tmpl_slabs = {k: np.asarray(trainable[k])
+                      for k in pack_spec.container_keys if k in trainable}
         trainable_np = repack_host(trainable_np, pack_spec, tmpl_slabs)
     sharded = {k: v for k, v in trainable_np.items()
                if k in trainable and isinstance(trainable[k], jax.Array)}
@@ -208,7 +208,7 @@ def restore_train_state(path: Path, template_state: TrainState,
             from .packing import repack_host
 
             tmpl_shadow = {k: np.asarray(v) for k, v in ema.shadow.items()
-                           if k in set(pack_spec.slab_keys)}
+                           if k in pack_spec.container_keys}
             ema_sd = dict(ema_sd)
             ema_sd["shadow_params"] = repack_host(
                 ema_sd["shadow_params"], pack_spec, tmpl_shadow)

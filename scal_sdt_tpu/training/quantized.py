@@ -39,12 +39,27 @@ import optax
 BLOCK = 256
 
 
+# fused-kernel scale panel width (ops/adam8_fused.py): minor is capped so
+# n_blocks <= this; bigger trailing products merge more leading dims instead
+_MAX_NB = 128
+
+
 def _leaf_view(shape) -> tuple[int, int, int]:
-    """(lead, minor, n_blocks) for a leaf shape."""
+    """(lead, minor, n_blocks) for a leaf shape.
+
+    The split point merges leading dims (free, tile-preserving reshapes)
+    until the trailing product fits _MAX_NB 256-blocks — natural leaves
+    split at dim 1 as before; packed (N, *shape) stacks
+    (training/packing.py) split deeper so their huge trailing products
+    don't blow the fused kernel's scale panel."""
     if len(shape) <= 1:
         lead, minor = 1, int(np.prod(shape)) if shape else 1
     else:
-        lead, minor = int(shape[0]), int(np.prod(shape[1:]))
+        k = 1
+        while k < len(shape) - 1 and int(np.prod(shape[k:])) > _MAX_NB * BLOCK:
+            k += 1
+        lead = int(np.prod(shape[:k]))
+        minor = int(np.prod(shape[k:]))
     if minor < BLOCK:
         # a short minor would pad every row to one full block (up to
         # BLOCK/minor x state ballooning) — flatten the whole leaf instead;
@@ -120,7 +135,11 @@ def _stores_int8(shape, min_size: int) -> bool:
     SD1.5 leaves (0.9% of params, 61 MB as fp32) vs ~2 ms as fp32 moments.
     """
     lead, minor, nb = _leaf_view(shape)
-    slab_ok = (lead + 256) * nb * 16 <= 8 * 1024 * 1024
+    # bound the (lead, 128)-padded fp32 scale panels' transient HBM (4
+    # panels in flight); raised from 8 MB when family stacking arrived —
+    # stacks amortize the padding across members, and 64 MB of panel
+    # traffic is ~0.1 ms at HBM rate
+    slab_ok = (lead + 256) * nb * 16 <= 64 * 1024 * 1024
     return lead > 1 and slab_ok and lead * minor >= min_size
 
 
@@ -198,12 +217,15 @@ def scale_by_adam_8bit(b1: float = 0.9, b2: float = 0.999,
                 # ops/adam8_fused.py for why this layout is load-bearing.
                 from ..ops.adam8_fused import adam8_fused_update
 
+                # gradient goes in AS-IS (bf16 in mixed precision): the
+                # kernel casts to fp32 in VMEM; an external astype would
+                # materialize a full fp32 copy in HBM first
                 out2, mq, ms, nq, ns = adam8_fused_update(
-                    g.reshape(lead, minor).astype(jnp.float32),
+                    g.reshape(lead, minor),
                     state.mu_q[k], state.mu_s[k],
                     state.nu_q[k], state.nu_s[k],
                     inv_bc1, inv_bc2, b1=b1, b2=b2, eps=eps)
-                new_updates[k] = out2.reshape(g.shape).astype(g.dtype)
+                new_updates[k] = out2.reshape(g.shape)
                 mu_q[k], mu_s[k] = mq, ms
                 nu_q[k], nu_s[k] = nq, ns
                 continue

@@ -171,19 +171,24 @@ class Trainer:
         # leaves into per-(component, group) slabs turns hundreds of tiny
         # optimizer/EMA/apply kernels into a handful. Escape hatch:
         # trainer.param_packing: false.
-        from .packing import build_pack_spec, pack, slab_labels
+        from .packing import DEFAULT_MIN_SLAB_SIZE, build_pack_spec, pack, packed_labels
 
         self.pack_spec = None
         if bool(config.trainer.get("param_packing", True)):
-            spec_candidate = build_pack_spec(trainable, labels)
-            if spec_candidate.slabs:
+            spec_candidate = build_pack_spec(
+                trainable, labels,
+                min_slab_size=int(config.trainer.get("pack_min_size")
+                                  or DEFAULT_MIN_SLAB_SIZE),
+                stack_big=bool(config.trainer.get("pack_stacks", True)))
+            if spec_candidate.nontrivial:
                 self.pack_spec = spec_candidate
                 trainable = pack(trainable, self.pack_spec, np_out=True)
                 labels = {**{k: v for k, v in labels.items() if k in trainable},
-                          **slab_labels(self.pack_spec)}
+                          **packed_labels(self.pack_spec)}
                 n_packed = len(self.pack_spec.packed_keys)
-                logger.info(f"Packed {n_packed} small leaves into "
-                            f"{len(self.pack_spec.slabs)} slab(s)")
+                logger.info(f"Packed {n_packed} leaves into "
+                            f"{len(self.pack_spec.slabs)} slab(s) + "
+                            f"{len(self.pack_spec.stacks)} stack(s)")
 
         self.tx, self.lr_fn = build_optimizer(
             config, labels, overrides, steps_per_epoch, jax.process_count())
@@ -400,17 +405,25 @@ class Trainer:
     # ------------------------------------------------------------- sampling
 
     def natural_trainable(self) -> dict:
-        """state.trainable with slabs expanded to natural per-leaf names
-        (host views for slab members, device arrays for big leaves)."""
+        """state.trainable with packs expanded to natural per-leaf names
+        (host views for pack members, device arrays for big leaves)."""
         from .packing import unpack_host
 
         return unpack_host(self.state.trainable, self.pack_spec)
 
     def merged_inference_params(self) -> dict:
         """Current frozen+trainable view for sampling/export (LoRA factors
-        stay as runtime deltas; unet_apply consumes them directly)."""
-        from .packing import unpack_host
+        stay as runtime deltas; unet_apply consumes them directly).
 
+        Unpacks ON DEVICE (one jitted program): a host unpack would fetch
+        the full packed trainable (GBs) through the remote tunnel on every
+        in-training sampling call."""
         merged = dict(self.frozen)
-        merged.update(unpack_host(self.state.trainable, self.pack_spec))
+        if self.pack_spec is None:
+            merged.update(self.state.trainable)
+            return merged
+        from .packing import unpack
+
+        spec = self.pack_spec
+        merged.update(jax.jit(lambda p: unpack(p, spec))(self.state.trainable))
         return merged

@@ -21,3 +21,40 @@ os.environ.setdefault("OMP_NUM_THREADS", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# quick/slow split (the full suite is ~45 min single-core; `-m "not slow"`
+# runs the unit/parity core in a few minutes). Centralized here so test
+# modules stay unmarked; anything that fits an entry below is slow.
+import pytest  # noqa: E402
+
+_SLOW_MODULES = {
+    "test_arb_training_e2e",
+    "test_dreambooth_and_objectives",
+    "test_full_model_parity",       # SD1.5-parameterization torch parity
+    "test_cache",
+    "test_grad_accumulation",
+}
+_SLOW_TESTS = {
+    "test_mid_epoch_resume_matches_continuous_run",
+    "test_lora_dropout_changes_training",
+    "test_multihost_cache_padding_covers_all_ids",
+    "test_cache_cli_keeps_tail_entries",
+    "test_e2e_packed_equals_unpacked",
+    "test_e2e_stacked_tiny_matches_unpacked",
+    "test_v_prediction_reaches_train_step_via_real_load_path",
+    "test_v_target_actually_differs_from_epsilon",
+    "test_sample_images_end_to_end_tiny",
+    "test_custom_embedding_expansion_and_table_extension",
+    "test_sd2_single_file_ldm_loads_and_encodes",
+    "test_checkpoint_save_and_resume",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        module = item.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
+        name = item.name.split("[")[0]
+        if module in _SLOW_MODULES or name in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

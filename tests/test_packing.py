@@ -29,6 +29,15 @@ def _params():
     }
 
 
+def _family_params():
+    """Three same-shape big leaves (a stack family) + a lone big leaf."""
+    rng = np.random.RandomState(2)
+    p = _params()
+    for i in range(3):
+        p[f"unet.fam{i}.weight"] = rng.randn(600, 512).astype(np.float32)
+    return p
+
+
 def test_spec_groups_by_component_and_label():
     params = _params()
     labels = {k: ("g1" if k.startswith("condition_model.") else "g0")
@@ -55,6 +64,49 @@ def test_pack_unpack_round_trip_host_and_device():
         assert set(variant.keys()) == set(params.keys())
         for k in params:
             np.testing.assert_array_equal(np.asarray(variant[k]), params[k])
+
+
+def test_stack_families():
+    params = _family_params()
+    spec = build_pack_spec(params)
+    # fam0/fam1/fam2 + big.weight share (600, 512) -> one 4-member stack
+    assert len(spec.stacks) == 1
+    stack_key, members, shape = spec.stacks[0]
+    assert stack_key.startswith("unet.__stack__.default.")
+    assert set(members) == {"unet.big.weight", "unet.fam0.weight",
+                            "unet.fam1.weight", "unet.fam2.weight"}
+    assert shape == (600, 512)
+    from scal_sdt_tpu.training.packing import packed_labels
+
+    assert packed_labels(spec)[stack_key] == "default"
+
+    packed = pack(params, spec, np_out=True)
+    assert packed[stack_key].shape == (4, 600, 512)
+    out = unpack_host(packed, spec)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(out[k]), params[k])
+
+    # device unpack + custom vjp
+    packed_dev = {k: jnp.asarray(v) for k, v in packed.items()}
+    coeffs = {k: jnp.asarray(np.random.RandomState(5).randn(*v.shape),
+                             jnp.float32) for k, v in params.items()}
+
+    def loss(p):
+        full = unpack(p, spec)
+        return sum(jnp.vdot(full[k], coeffs[k]) for k in coeffs)
+
+    g = jax.grad(loss)(packed_dev)
+    # linear loss: d/d stack[i] == coeffs of that member
+    for i, k in enumerate(members):
+        np.testing.assert_allclose(np.asarray(g[stack_key][i]),
+                                   np.asarray(coeffs[k]), rtol=1e-6)
+
+
+def test_stack_disabled_keeps_big_leaves_natural():
+    params = _family_params()
+    spec = build_pack_spec(params, stack_big=False)
+    assert spec.stacks == ()
+    assert "unet.fam0.weight" in spec.passthrough
 
 
 def test_single_leaf_groups_stay_natural():
@@ -101,7 +153,7 @@ def test_repack_host_partial_coverage():
     full = pack(params, spec, np_out=True)
     # EMA-like subset: only unet keys
     subset = {k: v for k, v in params.items() if k.startswith("unet.")}
-    re = repack_host(subset, spec, template_slabs=full)
+    re = repack_host(subset, spec, template=full)
     assert "unet.__slab__.default" in re
     assert "condition_model.__slab__.default" not in re
     np.testing.assert_array_equal(re["unet.__slab__.default"],
@@ -109,9 +161,52 @@ def test_repack_host_partial_coverage():
     # partial slab: missing member backfills from template
     partial = dict(subset)
     del partial["unet.a.bias"]
-    re2 = repack_host(partial, spec, template_slabs=full)
+    re2 = repack_host(partial, spec, template=full)
     np.testing.assert_array_equal(re2["unet.__slab__.default"],
                                   full["unet.__slab__.default"])
+
+
+def test_repack_host_partial_stack_coverage():
+    params = _family_params()
+    spec = build_pack_spec(params)
+    full = pack(params, spec, np_out=True)
+    stack_key, members, _ = spec.stacks[0]
+    partial = {k: params[k] for k in members[:2]}
+    re = repack_host(partial, spec, template=full)
+    np.testing.assert_array_equal(re[stack_key], full[stack_key])
+    # no template: uncovered members zero-fill
+    re0 = repack_host({members[0]: params[members[0]]}, spec)
+    assert np.abs(re0[stack_key][1:]).max() == 0
+
+
+def test_e2e_stacked_tiny_matches_unpacked(tmp_path):
+    """pack_min_size=64 forces the tiny model's leaves into stacks; the
+    trajectory must match unpacked training to fp32 tolerance."""
+    from scal_sdt_tpu.text.tokenizer import HashTokenizer
+    from scal_sdt_tpu.training.trainer import Trainer
+
+    data = make_image_dataset(tmp_path, n=4)
+    results = {}
+    for mode, overrides in (("stacked", {"param_packing": True,
+                                         "pack_min_size": 64}),
+                            ("off", {"param_packing": False})):
+        cfg = tiny_config(data, tmp_path / mode, trainer=overrides)
+        tr = Trainer(cfg, tmp_path / mode / "run", models=tiny_models(),
+                     tokenizer=HashTokenizer())
+        if mode == "stacked":
+            assert tr.pack_spec is not None and tr.pack_spec.stacks, \
+                "expected stacks to form at pack_min_size=64"
+        m = tr.fit(max_steps_override=2)
+        results[mode] = (float(m["train_loss"]),
+                         {k: np.asarray(v)
+                          for k, v in tr.natural_trainable().items()})
+    loss_s, params_s = results["stacked"]
+    loss_u, params_u = results["off"]
+    np.testing.assert_allclose(loss_s, loss_u, rtol=1e-5)
+    assert set(params_s) == set(params_u)
+    for k in params_s:
+        np.testing.assert_allclose(params_s[k], params_u[k],
+                                   rtol=1e-3, atol=1e-6, err_msg=k)
 
 
 @pytest.mark.parametrize("packing", [True, False])

@@ -66,6 +66,24 @@ def test_adam8bit_state_memory_is_int8():
     assert payload_bytes + scale_bytes < 0.3 * fp32_bytes
 
 
+def test_leaf_view_splits_stacked_shapes():
+    """Packed (N, *shape) stacks (training/packing.py) must merge enough
+    leading dims that n_blocks fits the fused kernel's 128-wide scale
+    panel; natural leaves keep their historical split."""
+    from scal_sdt_tpu.training.quantized import _leaf_view
+
+    # natural leaves: split at dim 1, as always
+    assert _leaf_view((1280, 1280)) == (1280, 1280, 5)
+    assert _leaf_view((1280, 2560, 3, 3)) == (1280, 23040, 90)
+    assert _leaf_view((49408, 768)) == (49408, 768, 3)
+    # stacks: trailing product > 128*256 merges deeper
+    assert _leaf_view((49, 1280, 1280)) == (49 * 1280, 1280, 5)
+    assert _leaf_view((20, 1280, 1280, 3, 3)) == (20 * 1280, 11520, 45)
+    # 1-D and short-minor flattening unchanged
+    assert _leaf_view((300,)) == (1, 300, 2)
+    assert _leaf_view((64, 100)) == (1, 6400, 25)
+
+
 def test_adam8bit_small_leaf_fp32_matches_plain_adam():
     """Sub-threshold leaves must follow optax.scale_by_adam exactly."""
     rng = np.random.RandomState(3)
