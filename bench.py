@@ -27,6 +27,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # SSDT_BENCH_TINY=1: CPU smoke mode — tiny UNet, 1 iter, proves the
+    # whole bench code path (packing, optimizer, step) compiles and runs
+    # without a TPU. Numbers from this mode are meaningless.
+    TINY = os.environ.get("SSDT_BENCH_TINY") == "1"
+    if TINY:
+        jax.config.update("jax_platforms", "cpu")
+
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -40,10 +47,10 @@ def main():
         StepSpec, UNET_PREFIX, init_train_state, make_train_step,
     )
 
-    BATCH = int(os.environ.get("SSDT_BENCH_BATCH", 8))
-    LATENT = 64  # 512px / 8
-    WARMUP = 3
-    ITERS = int(os.environ.get("SSDT_BENCH_ITERS", 20))
+    BATCH = int(os.environ.get("SSDT_BENCH_BATCH", 2 if TINY else 8))
+    LATENT = 8 if TINY else 64  # 512px / 8
+    WARMUP = 1 if TINY else 3
+    ITERS = int(os.environ.get("SSDT_BENCH_ITERS", 2 if TINY else 20))
 
     if os.environ.get("SSDT_BENCH_FORCE_XLA") == "1":
         from scal_sdt_tpu.ops import attention as attention_ops
@@ -71,7 +78,7 @@ def main():
         },
     }))
 
-    unet_config = UNetConfig.sd15()
+    unet_config = UNetConfig.tiny() if TINY else UNetConfig.sd15()
     params = init_unet_params(jax.random.PRNGKey(0), unet_config, dtype=jnp.float32)
     trainable = {f"{UNET_PREFIX}.{k}": v for k, v in params.items()}
 
@@ -122,7 +129,8 @@ def main():
             "latents": jax.device_put(
                 rng.randn(BATCH, LATENT, LATENT, 4).astype(np.float32), bs),
             "conds": jax.device_put(
-                rng.randn(BATCH, 77, 768).astype(np.float32), bs),
+                rng.randn(BATCH, 77, unet_config.cross_attention_dim)
+                .astype(np.float32), bs),
         }
 
         # Warmup absorbs both compiles and the one layout-fixpoint recompile
@@ -142,11 +150,12 @@ def main():
 
     steps_per_sec = ITERS / dt
     print(json.dumps({
-        "metric": "sd15_unet_full_finetune_train_steps_per_sec_b8_512"
-                  + ("_ema" if EMA else ""),
+        "metric": ("tiny_cpu_smoke" if TINY else
+                   "sd15_unet_full_finetune_train_steps_per_sec_b8_512"
+                   + ("_ema" if EMA else "")),
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec",
-        "vs_baseline": round(steps_per_sec / 4.0, 4),
+        "vs_baseline": None if TINY else round(steps_per_sec / 4.0, 4),
     }))
 
 
