@@ -1,0 +1,117 @@
+"""Standalone text-to-image sampling CLI (beyond reference parity).
+
+The reference can only sample inside training (``modules/sample_callback.py``)
+or while generating DreamBooth class images (``gen_class_imgs.py``); users
+must export to WebUI for plain inference. This CLI runs the jitted DDIM+CFG
+loop (``diffusion/sampler.py`` — one XLA executable per shape) directly from
+any model the trainer can load (LDM single-file or diffusers dir), optionally
+overlaying a training checkpoint (full fine-tune deltas or LoRA factors,
+which the UNet forward consumes as runtime deltas).
+
+    python sample.py --model sd15.safetensors --prompt "a corgi" \
+        --steps 28 --cfg 7.5 --out out/ [--ckpt run/step8.safetensors]
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import click
+
+logger = logging.getLogger("sample")
+
+
+def _merge_checkpoint(models, ckpt_path: Path) -> None:
+    """Overlay a training checkpoint's trainable tensors (and LoRA factors)
+    onto the loaded base components, in place."""
+    import numpy as np
+
+    from ..training.step import TE_PREFIX, UNET_PREFIX, VAE_PREFIX
+    from ..utils.state import load_state_dict
+
+    tensors = load_state_dict(ckpt_path)
+    targets = {UNET_PREFIX: models.unet, TE_PREFIX: models.clip,
+               VAE_PREFIX: models.vae}
+    merged = {p: 0 for p in targets}
+    for key, value in tensors.items():
+        if key.startswith("unet_ema."):
+            continue  # publish EMA via `ckpt_tool prune --ema` instead
+        for prefix, params in targets.items():
+            if key.startswith(prefix + "."):
+                params[key[len(prefix) + 1:]] = np.asarray(value)
+                merged[prefix] += 1
+                break
+    logger.info("Merged checkpoint tensors: " +
+                ", ".join(f"{p}={n}" for p, n in merged.items() if n))
+
+
+@click.command()
+@click.option("--model", required=True,
+              help="LDM .ckpt/.safetensors file or diffusers directory")
+@click.option("--prompt", "prompts", multiple=True, required=True,
+              help="Prompt (repeat for a batch of different prompts)")
+@click.option("--negative", default="", help="Negative prompt")
+@click.option("--ckpt", type=click.Path(exists=True, path_type=Path),
+              default=None,
+              help="Training checkpoint to overlay (full-FT or LoRA)")
+@click.option("--vae", default=None, help="External VAE override")
+@click.option("--num", default=1, show_default=True,
+              help="Images per prompt")
+@click.option("--steps", default=28, show_default=True)
+@click.option("--cfg", default=7.5, show_default=True)
+@click.option("--width", default=512, show_default=True)
+@click.option("--height", default=512, show_default=True)
+@click.option("--seed", default=42, show_default=True)
+@click.option("--clip-skip", default=1, show_default=True,
+              help="CLIP stop-at-layer (reference clip_stop_at_layer)")
+@click.option("--tokenizer", "tokenizer_src", default=None,
+              help="Tokenizer assets dir/name ('hash' for the test stand-in)")
+@click.option("--out", type=click.Path(path_type=Path), default=Path("samples"),
+              show_default=True)
+def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
+         seed, clip_skip, tokenizer_src, out):
+    logging.basicConfig(level=logging.INFO)
+
+    from ..conf import Config, default, merge
+    from ..convert.loader import load_components
+    from ..diffusion.sampler import SamplerSpec, sample_images
+    from ..text.tokenizer import resolve_tokenizer
+
+    config = merge(default(), Config({
+        "model": str(model),
+        "vae": vae,
+        "clip_stop_at_layer": int(clip_skip),
+        **({"tokenizer": tokenizer_src} if tokenizer_src else {}),
+    }))
+    models = load_components(config)
+    tokenizer = resolve_tokenizer(config, allow_hash=tokenizer_src == "hash")
+    if ckpt is not None:
+        _merge_checkpoint(models, ckpt)
+
+    spec = SamplerSpec(
+        unet_config=models.unet_config,
+        vae_config=models.vae_config,
+        clip_config=models.clip_config,
+        schedule=models.schedule,
+        clip_stop_at_layer=int(clip_skip),
+    )
+
+    from PIL import Image
+
+    out.mkdir(parents=True, exist_ok=True)
+    batch = list(prompts)
+    for rep in range(int(num)):
+        images = sample_images(
+            models.unet, models.vae, models.clip, tokenizer,
+            batch, negative, spec, steps=int(steps), cfg_scale=float(cfg),
+            width=int(width), height=int(height), seed=int(seed) + rep)
+        for i, img in enumerate(images):
+            path = out / f"{i:02d}_{rep:02d}.png"
+            Image.fromarray(img).save(path)
+            logger.info(f"Wrote {path}")
+    logger.info(f"Done: {len(batch) * int(num)} image(s) in {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -69,7 +69,9 @@ def ddim_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.ndar
     acp = jnp.asarray(schedule.alphas_cumprod)
     final_acp = jnp.asarray(1.0) if schedule.set_alpha_to_one else acp[0]
 
-    shape = (batch, height // 8, width // 8, spec.unet_config.in_channels)
+    # spatial factor = 2^(levels-1): 8 for SD VAEs, smaller for tiny test VAEs
+    f = 2 ** (len(spec.vae_config.block_out_channels) - 1)
+    shape = (batch, height // f, width // f, spec.unet_config.in_channels)
     x = jax.random.normal(rng, shape, dtype=spec.dtype)
 
     context = jnp.concatenate([uncond, cond], axis=0).astype(spec.dtype)

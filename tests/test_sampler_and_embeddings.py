@@ -37,7 +37,8 @@ def test_sample_images_end_to_end_tiny():
                         spec=spec, steps=4, cfg_scale=3.0, width=32, height=32,
                         seed=7)
     # tiny VAE upsamples latents x2 (not x8): output is (h/8)*2
-    assert out.shape == (2, 8, 8, 3)
+    # tiny VAE has 2 levels -> spatial factor 2: 32px request = 32px out
+    assert out.shape == (2, 32, 32, 3)
     assert out.dtype == np.uint8
 
 
