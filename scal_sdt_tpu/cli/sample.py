@@ -63,6 +63,9 @@ def _merge_checkpoint(models, ckpt_path: Path) -> None:
 @click.option("--width", default=512, show_default=True)
 @click.option("--height", default=512, show_default=True)
 @click.option("--seed", default=42, show_default=True)
+@click.option("--method", default="ddim", show_default=True,
+              type=click.Choice(["ddim", "euler", "euler_a"]),
+              help="Sampler (euler/euler_a are k-diffusion style)")
 @click.option("--clip-skip", default=1, show_default=True,
               help="CLIP stop-at-layer (reference clip_stop_at_layer)")
 @click.option("--tokenizer", "tokenizer_src", default=None,
@@ -70,7 +73,7 @@ def _merge_checkpoint(models, ckpt_path: Path) -> None:
 @click.option("--out", type=click.Path(path_type=Path), default=Path("samples"),
               show_default=True)
 def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
-         seed, clip_skip, tokenizer_src, out):
+         seed, method, clip_skip, tokenizer_src, out):
     logging.basicConfig(level=logging.INFO)
 
     from ..conf import Config, default, merge
@@ -105,7 +108,8 @@ def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
         images = sample_images(
             models.unet, models.vae, models.clip, tokenizer,
             batch, negative, spec, steps=int(steps), cfg_scale=float(cfg),
-            width=int(width), height=int(height), seed=int(seed) + rep)
+            width=int(width), height=int(height), seed=int(seed) + rep,
+            method=method)
         for i, img in enumerate(images):
             path = out / f"{i:02d}_{rep:02d}.png"
             Image.fromarray(img).save(path)

@@ -95,11 +95,78 @@ def ddim_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.ndar
     return x
 
 
+@partial(jax.jit, static_argnames=("spec", "num_steps", "cfg_scale", "height",
+                                   "width", "batch", "ancestral"))
+def euler_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.ndarray,
+                         rng: jax.Array, spec: SamplerSpec, num_steps: int,
+                         cfg_scale: float, height: int, width: int, batch: int,
+                         ancestral: bool = False) -> jnp.ndarray:
+    """Euler / Euler-ancestral (k-diffusion style on the discrete VP sigmas,
+    diffusers EulerDiscreteScheduler semantics) — the WebUI ecosystem's
+    default samplers, beyond reference parity. One lax.scan program.
+
+    Sigma-space convention: x = x0 + sigma*eps; the UNet consumes
+    x / sqrt(sigma^2+1) at the discrete timestep of that sigma.
+    """
+    schedule = spec.schedule
+    if schedule.prediction_type == "sample":
+        raise ValueError("euler samplers do not support prediction_type=sample")
+    ts = jnp.asarray(ddim_timesteps(schedule, num_steps), jnp.int32)
+    acp = jnp.asarray(schedule.alphas_cumprod).astype(jnp.float32)
+    sigmas = jnp.sqrt((1.0 - acp[ts]) / acp[ts])
+    sigmas_next = jnp.concatenate([sigmas[1:], jnp.zeros((1,))])
+
+    f = 2 ** (len(spec.vae_config.block_out_channels) - 1)
+    shape = (batch, height // f, width // f, spec.unet_config.in_channels)
+    rng, init_rng = jax.random.split(rng)
+    # init_noise_sigma: the VP sample at T is N(0,1); in sigma space that is
+    # sqrt(sigma_max^2 + 1) * N(0,1)
+    x = (jax.random.normal(init_rng, shape, jnp.float32)
+         * jnp.sqrt(sigmas[0] ** 2 + 1.0))
+
+    context = jnp.concatenate([uncond, cond], axis=0).astype(spec.dtype)
+
+    def step(carry, inp):
+        x, rng = carry
+        t, sig, sig_n = inp
+        x_in = (x / jnp.sqrt(sig ** 2 + 1.0)).astype(spec.dtype)
+        pair = jnp.concatenate([x_in, x_in], axis=0)
+        t_b = jnp.full((2 * batch,), t, jnp.int32)
+        pred = unet_apply(unet_params, pair, t_b, context, spec.unet_config)
+        pred_u, pred_c = jnp.split(pred.astype(jnp.float32), 2, axis=0)
+        pred = pred_u + cfg_scale * (pred_c - pred_u)
+
+        if schedule.prediction_type == "epsilon":
+            denoised = x - sig * pred
+        else:  # v
+            denoised = x / (sig ** 2 + 1.0) - pred * sig / jnp.sqrt(sig ** 2 + 1.0)
+
+        d = (x - denoised) / sig
+        if ancestral:
+            var = sig_n ** 2 * (sig ** 2 - sig_n ** 2) / sig ** 2
+            sig_up = jnp.sqrt(var)
+            sig_down = jnp.sqrt(sig_n ** 2 - var)
+            rng, noise_rng = jax.random.split(rng)
+            noise = jax.random.normal(noise_rng, x.shape, jnp.float32)
+            x = x + d * (sig_down - sig) + noise * sig_up
+        else:
+            x = x + d * (sig_n - sig)
+        return (x, rng), ()
+
+    (x, _), _ = jax.lax.scan(step, (x, rng), (ts, sigmas, sigmas_next))
+    # sigma 0 reached: x IS the denoised latent
+    return x.astype(spec.dtype)
+
+
+SAMPLER_METHODS = ("ddim", "euler", "euler_a")
+
+
 def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
                   tokenizer, prompts: list[str], negative_prompt: str,
                   spec: SamplerSpec, steps: int = 28, cfg_scale: float = 7.5,
                   width: int = 512, height: int = 512,
-                  seed: Optional[int] = None, rng: Optional[jax.Array] = None) -> np.ndarray:
+                  seed: Optional[int] = None, rng: Optional[jax.Array] = None,
+                  method: str = "ddim") -> np.ndarray:
     """Full text->image path. Returns uint8 (B, H, W, 3)."""
     if rng is None:
         rng = jax.random.PRNGKey(0 if seed is None else seed)
@@ -113,8 +180,16 @@ def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
     cond = clip_text_apply(clip_c, ids, spec.clip_config, spec.clip_stop_at_layer)
     uncond = clip_text_apply(clip_c, neg_ids, spec.clip_config, spec.clip_stop_at_layer)
 
-    latents = ddim_sample_latents(cast(unet_params), cond, uncond, rng, spec,
-                                  steps, float(cfg_scale), height, width, batch)
+    if method == "ddim":
+        latents = ddim_sample_latents(cast(unet_params), cond, uncond, rng, spec,
+                                      steps, float(cfg_scale), height, width, batch)
+    elif method in ("euler", "euler_a"):
+        latents = euler_sample_latents(cast(unet_params), cond, uncond, rng, spec,
+                                       steps, float(cfg_scale), height, width,
+                                       batch, ancestral=method == "euler_a")
+    else:
+        raise ValueError(f"Unknown sampler method {method!r}; "
+                         f"choose from {SAMPLER_METHODS}")
 
     images = decoder_apply(cast(vae_params), latents / spec.vae_config.scaling_factor,
                            spec.vae_config)

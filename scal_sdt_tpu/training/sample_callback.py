@@ -69,6 +69,7 @@ class SampleCallback:
                     width=int(concept.get("width", 512)),
                     height=int(concept.get("height", 512)),
                     rng=jax.random.fold_in(jax.random.PRNGKey(seed), len(images)),
+                    method=concept.get("method", sampling.get("method", "ddim")),
                 )
                 images.extend(out)
                 remaining -= n

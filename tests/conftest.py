@@ -49,6 +49,9 @@ _SLOW_TESTS = {
     "test_custom_embedding_expansion_and_table_extension",
     "test_sd2_single_file_ldm_loads_and_encodes",
     "test_checkpoint_save_and_resume",
+    "test_sample_images_end_to_end_methods",
+    "test_sample_cli_writes_images",
+    "test_sample_cli_overlays_training_checkpoint",
 }
 
 
