@@ -66,6 +66,10 @@ def _merge_checkpoint(models, ckpt_path: Path) -> None:
 @click.option("--method", default="ddim", show_default=True,
               type=click.Choice(["ddim", "euler", "euler_a"]),
               help="Sampler (euler/euler_a are k-diffusion style)")
+@click.option("--init-image", type=click.Path(exists=True, path_type=Path),
+              default=None, help="img2img init image")
+@click.option("--strength", default=0.75, show_default=True,
+              help="img2img denoising strength (1.0 ignores the init)")
 @click.option("--clip-skip", default=1, show_default=True,
               help="CLIP stop-at-layer (reference clip_stop_at_layer)")
 @click.option("--tokenizer", "tokenizer_src", default=None,
@@ -73,7 +77,7 @@ def _merge_checkpoint(models, ckpt_path: Path) -> None:
 @click.option("--out", type=click.Path(path_type=Path), default=Path("samples"),
               show_default=True)
 def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
-         seed, method, clip_skip, tokenizer_src, out):
+         seed, method, init_image, strength, clip_skip, tokenizer_src, out):
     logging.basicConfig(level=logging.INFO)
 
     from ..conf import Config, default, merge
@@ -102,6 +106,14 @@ def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
 
     from PIL import Image
 
+    init_arr = None
+    if init_image is not None:
+        import numpy as np
+
+        img = Image.open(init_image).convert("RGB").resize(
+            (int(width), int(height)), Image.LANCZOS)
+        init_arr = np.asarray(img).astype(np.float32) / 127.5 - 1.0
+
     out.mkdir(parents=True, exist_ok=True)
     batch = list(prompts)
     for rep in range(int(num)):
@@ -109,7 +121,7 @@ def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
             models.unet, models.vae, models.clip, tokenizer,
             batch, negative, spec, steps=int(steps), cfg_scale=float(cfg),
             width=int(width), height=int(height), seed=int(seed) + rep,
-            method=method)
+            method=method, init_image=init_arr, strength=float(strength))
         for i, img in enumerate(images):
             path = out / f"{i:02d}_{rep:02d}.png"
             Image.fromarray(img).save(path)

@@ -59,20 +59,33 @@ def _pred_to_eps_x0(pred, x, t, schedule: NoiseSchedule):
     return eps, x0
 
 
-@partial(jax.jit, static_argnames=("spec", "num_steps", "cfg_scale", "height", "width", "batch"))
+@partial(jax.jit, static_argnames=("spec", "num_steps", "cfg_scale", "height",
+                                   "width", "batch", "t_start_index"))
 def ddim_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.ndarray,
                         rng: jax.Array, spec: SamplerSpec, num_steps: int,
-                        cfg_scale: float, height: int, width: int, batch: int) -> jnp.ndarray:
-    """Run the DDIM loop, returns final latents (B, h/8, w/8, 4) unscaled."""
+                        cfg_scale: float, height: int, width: int, batch: int,
+                        init_latents: Optional[jnp.ndarray] = None,
+                        t_start_index: int = 0) -> jnp.ndarray:
+    """Run the DDIM loop, returns final latents (B, h/8, w/8, 4) unscaled.
+
+    img2img: pass scaled ``init_latents`` + ``t_start_index`` (the index
+    into the timestep ladder to start from; strength s maps to
+    ``int(num_steps * (1 - s))``) — the init is q-sampled to that level.
+    """
     schedule = spec.schedule
-    ts = jnp.asarray(ddim_timesteps(schedule, num_steps), jnp.int32)
+    ts = jnp.asarray(ddim_timesteps(schedule, num_steps), jnp.int32)[t_start_index:]
     acp = jnp.asarray(schedule.alphas_cumprod)
     final_acp = jnp.asarray(1.0) if schedule.set_alpha_to_one else acp[0]
 
     # spatial factor = 2^(levels-1): 8 for SD VAEs, smaller for tiny test VAEs
     f = 2 ** (len(spec.vae_config.block_out_channels) - 1)
     shape = (batch, height // f, width // f, spec.unet_config.in_channels)
-    x = jax.random.normal(rng, shape, dtype=spec.dtype)
+    noise = jax.random.normal(rng, shape, dtype=spec.dtype)
+    if init_latents is None:
+        x = noise
+    else:
+        x = schedule.add_noise(init_latents.astype(spec.dtype), noise,
+                               jnp.full((batch,), ts[0], jnp.int32))
 
     context = jnp.concatenate([uncond, cond], axis=0).astype(spec.dtype)
 
@@ -96,11 +109,14 @@ def ddim_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.ndar
 
 
 @partial(jax.jit, static_argnames=("spec", "num_steps", "cfg_scale", "height",
-                                   "width", "batch", "ancestral"))
+                                   "width", "batch", "ancestral",
+                                   "t_start_index"))
 def euler_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.ndarray,
                          rng: jax.Array, spec: SamplerSpec, num_steps: int,
                          cfg_scale: float, height: int, width: int, batch: int,
-                         ancestral: bool = False) -> jnp.ndarray:
+                         ancestral: bool = False,
+                         init_latents: Optional[jnp.ndarray] = None,
+                         t_start_index: int = 0) -> jnp.ndarray:
     """Euler / Euler-ancestral (k-diffusion style on the discrete VP sigmas,
     diffusers EulerDiscreteScheduler semantics) — the WebUI ecosystem's
     default samplers, beyond reference parity. One lax.scan program.
@@ -111,7 +127,7 @@ def euler_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.nda
     schedule = spec.schedule
     if schedule.prediction_type == "sample":
         raise ValueError("euler samplers do not support prediction_type=sample")
-    ts = jnp.asarray(ddim_timesteps(schedule, num_steps), jnp.int32)
+    ts = jnp.asarray(ddim_timesteps(schedule, num_steps), jnp.int32)[t_start_index:]
     acp = jnp.asarray(schedule.alphas_cumprod).astype(jnp.float32)
     sigmas = jnp.sqrt((1.0 - acp[ts]) / acp[ts])
     sigmas_next = jnp.concatenate([sigmas[1:], jnp.zeros((1,))])
@@ -119,10 +135,15 @@ def euler_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.nda
     f = 2 ** (len(spec.vae_config.block_out_channels) - 1)
     shape = (batch, height // f, width // f, spec.unet_config.in_channels)
     rng, init_rng = jax.random.split(rng)
-    # init_noise_sigma: the VP sample at T is N(0,1); in sigma space that is
-    # sqrt(sigma_max^2 + 1) * N(0,1)
-    x = (jax.random.normal(init_rng, shape, jnp.float32)
-         * jnp.sqrt(sigmas[0] ** 2 + 1.0))
+    if init_latents is None:
+        # init_noise_sigma: the VP sample at T is N(0,1); in sigma space
+        # that is sqrt(sigma_max^2 + 1) * N(0,1)
+        x = (jax.random.normal(init_rng, shape, jnp.float32)
+             * jnp.sqrt(sigmas[0] ** 2 + 1.0))
+    else:
+        # img2img: x = x0 + sigma_start * eps (k-diffusion convention)
+        x = (init_latents.astype(jnp.float32)
+             + jax.random.normal(init_rng, shape, jnp.float32) * sigmas[0])
 
     context = jnp.concatenate([uncond, cond], axis=0).astype(spec.dtype)
 
@@ -166,8 +187,15 @@ def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
                   spec: SamplerSpec, steps: int = 28, cfg_scale: float = 7.5,
                   width: int = 512, height: int = 512,
                   seed: Optional[int] = None, rng: Optional[jax.Array] = None,
-                  method: str = "ddim") -> np.ndarray:
-    """Full text->image path. Returns uint8 (B, H, W, 3)."""
+                  method: str = "ddim",
+                  init_image: Optional[np.ndarray] = None,
+                  strength: float = 0.75) -> np.ndarray:
+    """Full text->image path. Returns uint8 (B, H, W, 3).
+
+    img2img: ``init_image`` is (H, W, 3) or (B, H, W, 3) float in [-1, 1];
+    ``strength`` in (0, 1] controls how much of the denoising ladder runs
+    (1.0 = ignore the init entirely, like diffusers Img2ImgPipeline).
+    """
     if rng is None:
         rng = jax.random.PRNGKey(0 if seed is None else seed)
     batch = len(prompts)
@@ -180,13 +208,32 @@ def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
     cond = clip_text_apply(clip_c, ids, spec.clip_config, spec.clip_stop_at_layer)
     uncond = clip_text_apply(clip_c, neg_ids, spec.clip_config, spec.clip_stop_at_layer)
 
+    init_latents, t_start = None, 0
+    if init_image is not None:
+        from ..models.vae import encoder_apply, sample_latents
+
+        img = jnp.asarray(init_image, jnp.float32)
+        if img.ndim == 3:
+            img = img[None]
+        img = jnp.broadcast_to(img, (batch,) + img.shape[1:])
+        rng, vae_rng = jax.random.split(rng)
+        moments = encoder_apply(cast(vae_params), img.astype(spec.dtype),
+                                spec.vae_config)
+        init_latents = sample_latents(moments, vae_rng,
+                                      spec.vae_config.scaling_factor)
+        t_start = min(int(steps * (1.0 - float(strength))), steps - 1)
+
     if method == "ddim":
         latents = ddim_sample_latents(cast(unet_params), cond, uncond, rng, spec,
-                                      steps, float(cfg_scale), height, width, batch)
+                                      steps, float(cfg_scale), height, width, batch,
+                                      init_latents=init_latents,
+                                      t_start_index=t_start)
     elif method in ("euler", "euler_a"):
         latents = euler_sample_latents(cast(unet_params), cond, uncond, rng, spec,
                                        steps, float(cfg_scale), height, width,
-                                       batch, ancestral=method == "euler_a")
+                                       batch, ancestral=method == "euler_a",
+                                       init_latents=init_latents,
+                                       t_start_index=t_start)
     else:
         raise ValueError(f"Unknown sampler method {method!r}; "
                          f"choose from {SAMPLER_METHODS}")

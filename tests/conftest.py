@@ -50,6 +50,7 @@ _SLOW_TESTS = {
     "test_sd2_single_file_ldm_loads_and_encodes",
     "test_checkpoint_save_and_resume",
     "test_sample_images_end_to_end_methods",
+    "test_img2img_end_to_end",
     "test_sample_cli_writes_images",
     "test_sample_cli_overlays_training_checkpoint",
 }

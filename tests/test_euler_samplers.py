@@ -100,6 +100,50 @@ def test_euler_rejects_sample_prediction(monkeypatch):
         _run_euler(spec, zero_unet, monkeypatch)
 
 
+def test_euler_img2img_zero_eps_keeps_noised_init(monkeypatch):
+    """eps == 0 -> x never moves: final = init + sigma_start * noise,
+    with sigma_start read from the strength-truncated ladder."""
+    spec, _ = _spec()
+    zero_unet = lambda p, x, t, c, cfg, **kw: jnp.zeros_like(x)
+    monkeypatch.setattr(sampler_mod, "unet_apply", zero_unet)
+
+    steps, t_start = 8, 5  # strength ~ 0.375
+    batch = 1
+    init = jnp.asarray(np.random.RandomState(3).randn(1, 16, 16,
+                                                      spec.unet_config.in_channels),
+                       jnp.float32)
+    cond = jnp.zeros((batch, 77, spec.unet_config.cross_attention_dim))
+    rng = jax.random.PRNGKey(0)
+    out = np.asarray(euler_sample_latents.__wrapped__(
+        {}, cond, cond, rng, spec, steps, 1.0, 32, 32, batch,
+        init_latents=init, t_start_index=t_start))
+
+    ts = ddim_timesteps(spec.schedule, steps)[t_start:]
+    acp = np.asarray(spec.schedule.alphas_cumprod)
+    sig_start = np.sqrt((1 - acp[ts[0]]) / acp[ts[0]])
+    _, init_rng = jax.random.split(rng)
+    noise = np.asarray(jax.random.normal(init_rng, out.shape))
+    np.testing.assert_allclose(out, np.asarray(init) + sig_start * noise,
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["ddim", "euler"])
+def test_img2img_end_to_end(method):
+    """Full img2img path: init image influences the output at low strength."""
+    from scal_sdt_tpu.text.tokenizer import HashTokenizer
+
+    spec, m = _spec()
+    init = np.random.RandomState(1).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    kwargs = dict(spec=spec, steps=4, cfg_scale=3.0, width=32, height=32,
+                  seed=7, method=method)
+    out_i2i = sample_images(m.unet, m.vae, m.clip, HashTokenizer(), ["x"], "",
+                            init_image=init, strength=0.5, **kwargs)
+    out_txt = sample_images(m.unet, m.vae, m.clip, HashTokenizer(), ["x"], "",
+                            **kwargs)
+    assert out_i2i.shape == (1, 32, 32, 3)
+    assert np.any(out_i2i != out_txt)
+
+
 @pytest.mark.parametrize("method", ["euler", "euler_a"])
 def test_sample_images_end_to_end_methods(method):
     """Real tiny UNet through the full text->image path per method."""
