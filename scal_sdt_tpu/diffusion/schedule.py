@@ -80,6 +80,26 @@ class NoiseSchedule:
             return self.velocity(x0, noise, t)
         raise ValueError(f"Unknown prediction type {self.prediction_type}")
 
+    def snr(self, t: jnp.ndarray) -> jnp.ndarray:
+        """Signal-to-noise ratio acp_t / (1 - acp_t) per timestep."""
+        acp = jnp.asarray(self.alphas_cumprod)[t]
+        return acp / (1.0 - acp)
+
+    def min_snr_weight(self, t: jnp.ndarray, gamma: float) -> jnp.ndarray:
+        """Per-sample Min-SNR-gamma loss weight (arXiv:2303.09556).
+
+        epsilon: min(SNR, gamma) / SNR; v-prediction: min(SNR, gamma) /
+        (SNR + 1) (the velocity target already carries an SNR+1 factor);
+        sample: min(SNR, gamma) (weighting in x0 space).
+        """
+        snr = self.snr(t)
+        clipped = jnp.minimum(snr, gamma)
+        if self.prediction_type == "epsilon":
+            return clipped / snr
+        if self.prediction_type in ("v", "v_prediction"):
+            return clipped / (snr + 1.0)
+        return clipped  # sample
+
     @classmethod
     def from_ldm_config(cls, ldm_config, **overrides) -> "NoiseSchedule":
         params = ldm_config.model.params

@@ -64,6 +64,9 @@ class StepSpec:
     prior_preservation: bool = False
     prior_loss_weight: float = 1.0
     train_text_encoder: bool = False
+    # modern training-quality knobs (beyond reference parity; config `loss:`)
+    min_snr_gamma: Optional[float] = None   # arXiv:2303.09556
+    noise_offset: float = 0.0               # per-channel DC noise offset
 
     @classmethod
     def from_config(cls, config: Config, unet_config: UNetConfig,
@@ -92,6 +95,11 @@ class StepSpec:
             prior_preservation=bool(config.prior_preservation.get("enabled", False)),
             prior_loss_weight=float(config.prior_preservation.get("prior_loss_weight", 1.0)),
             train_text_encoder=train_text_encoder,
+            min_snr_gamma=(float(config.loss.min_snr_gamma)
+                           if (config.get("loss") or {}).get("min_snr_gamma")
+                           else None),
+            noise_offset=float((config.get("loss") or {}).get("noise_offset")
+                               or 0.0),
         )
 
 
@@ -150,6 +158,13 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
     # --- q-sample + UNet + MSE against the schedule target -----------------
     bsz = latents.shape[0]
     noise = jax.random.normal(rng_noise, latents.shape, dtype=dt)
+    if spec.noise_offset:
+        # per-(sample, channel) DC offset: lets the model learn very dark /
+        # very bright images (the zero-mean q-sample otherwise anchors the
+        # mean; crosslabs' noise-offset trick, beyond reference parity)
+        rng_noise, rng_off = jax.random.split(rng_noise)
+        noise = noise + spec.noise_offset * jax.random.normal(
+            rng_off, (bsz, 1, 1, latents.shape[-1]), dtype=dt)
     timesteps = jax.random.randint(rng_t, (bsz,), 0, spec.schedule.num_train_timesteps)
     noisy = spec.schedule.add_noise(latents, noise, timesteps)
 
@@ -160,6 +175,9 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
 
     target = spec.schedule.training_target(latents, noise, timesteps)
     per_elem = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    if spec.min_snr_gamma is not None:
+        w = spec.schedule.min_snr_weight(timesteps, spec.min_snr_gamma)
+        per_elem = per_elem * w.astype(jnp.float32)[:, None, None, None]
 
     if spec.prior_preservation:
         # collate appends class items after instance items (reference
