@@ -323,6 +323,31 @@ def _graft_walk(nodes, prefix, base_state, model_paths, cached_load, comp_idx):
                 logger.info(f"Grafted {sub} ({n} tensors) from model [{source}]")
 
 
+@main.command("embedding")
+@click.argument("checkpoint", type=click.Path(exists=True, dir_okay=False, path_type=Path))
+@click.argument("out_dir", type=click.Path(file_okay=False, path_type=Path))
+def embedding(checkpoint: Path, out_dir: Path):
+    """Export trained textual-inversion embeddings to a1111-layout
+    safetensors (one file per keyword), consumable by WebUI and by this
+    framework's own custom_embeddings.path (beyond reference parity)."""
+    import numpy as np
+
+    from ..text.ti import TRAINED_EXTRA_KEY, export_embeddings
+    from ..training.checkpoint import load_checkpoint_tensors
+    from ..training.step import TE_PREFIX
+
+    tensors, meta = load_checkpoint_tensors(checkpoint)
+    key = f"{TE_PREFIX}.{TRAINED_EXTRA_KEY}"
+    if key not in tensors or not meta.get("ti_tokens"):
+        raise click.UsageError(
+            f"{checkpoint} contains no trained textual-inversion vectors "
+            f"(need tensor {key!r} + ti_tokens metadata)")
+    written = export_embeddings(np.asarray(tensors[key]), meta["ti_tokens"],
+                                out_dir)
+    for p in written:
+        logger.info(f"Wrote {p}")
+
+
 if __name__ == "__main__":
     logging.basicConfig(level="INFO")
     main()

@@ -22,15 +22,16 @@ import click
 logger = logging.getLogger("sample")
 
 
-def _merge_checkpoint(models, ckpt_path: Path) -> None:
+def _merge_checkpoint(models, ckpt_path: Path) -> dict:
     """Overlay a training checkpoint's trainable tensors (and LoRA factors)
-    onto the loaded base components, in place."""
+    onto the loaded base components, in place. Returns the checkpoint
+    metadata (e.g. ti_tokens for trained textual-inversion keywords)."""
     import numpy as np
 
+    from ..training.checkpoint import load_checkpoint_tensors
     from ..training.step import TE_PREFIX, UNET_PREFIX, VAE_PREFIX
-    from ..utils.state import load_state_dict
 
-    tensors = load_state_dict(ckpt_path)
+    tensors, meta = load_checkpoint_tensors(ckpt_path)
     targets = {UNET_PREFIX: models.unet, TE_PREFIX: models.clip,
                VAE_PREFIX: models.vae}
     merged = {p: 0 for p in targets}
@@ -44,6 +45,7 @@ def _merge_checkpoint(models, ckpt_path: Path) -> None:
                 break
     logger.info("Merged checkpoint tensors: " +
                 ", ".join(f"{p}={n}" for p, n in merged.items() if n))
+    return meta
 
 
 @click.command()
@@ -94,7 +96,15 @@ def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
     models = load_components(config)
     tokenizer = resolve_tokenizer(config, allow_hash=tokenizer_src == "hash")
     if ckpt is not None:
-        _merge_checkpoint(models, ckpt)
+        meta = _merge_checkpoint(models, ckpt)
+        if meta.get("ti_tokens"):
+            # trained TI keywords: re-register placeholder tokens so prompts
+            # containing them resolve to the trained_extra rows
+            from ..text.ti import register_ti_tokens_for_inference
+
+            register_ti_tokens_for_inference(tokenizer, meta["ti_tokens"])
+            logger.info("Registered trained TI keywords: " +
+                        ", ".join(e["keyword"] for e in meta["ti_tokens"]))
 
     spec = SamplerSpec(
         unet_config=models.unet_config,

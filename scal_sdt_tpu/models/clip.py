@@ -61,6 +61,12 @@ def clip_text_apply(params: Params, input_ids: jnp.ndarray, config: CLIPTextConf
     """
     p = params
     tok = p["text_model.embeddings.token_embedding.weight"]
+    # Textual-inversion TRAINING (text/ti.py, beyond reference parity):
+    # trained placeholder vectors live in a separate trainable leaf appended
+    # below the frozen table, so only they receive gradients.
+    extra = p.get("text_model.embeddings.token_embedding.trained_extra")
+    if extra is not None:
+        tok = jnp.concatenate([tok, extra.astype(tok.dtype)], axis=0)
     pos = p["text_model.embeddings.position_embedding.weight"]
     length = input_ids.shape[1]
     x = tok[input_ids] + pos[:length]

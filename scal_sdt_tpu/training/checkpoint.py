@@ -94,7 +94,8 @@ def checkpoint_state_dict(state: TrainState, frozen: dict,
 def save_checkpoint(path: Path, state: TrainState, frozen: dict,
                     save_train_state: bool = True,
                     loop_state: Optional[dict] = None,
-                    pack_spec=None):
+                    pack_spec=None,
+                    extra_meta: Optional[dict] = None):
     """Gather (collectively) on every process; write from process 0 only.
 
     ``loop_state`` ({epoch, batch_in_epoch}) rides in the metadata so a
@@ -106,6 +107,8 @@ def save_checkpoint(path: Path, state: TrainState, frozen: dict,
     tensors, meta = checkpoint_state_dict(state, frozen, pack_spec=pack_spec)
     if loop_state:
         meta.update({k: int(v) for k, v in loop_state.items()})
+    if extra_meta:
+        meta.update(extra_meta)
 
     host_extra = None
     if save_train_state:
@@ -298,14 +301,15 @@ class CheckpointManager:
         return False
 
     def save(self, state: TrainState, frozen: dict, metrics: dict,
-             loop_state: Optional[dict] = None, pack_spec=None) -> Path:
+             loop_state: Optional[dict] = None, pack_spec=None,
+             extra_meta: Optional[dict] = None) -> Path:
         """Collective on multi-host meshes (gathers shards); writes, prunes
         and persists retention state on process 0 only."""
         import jax
 
         path = self.run_dir / (self._format_name(metrics) + ".safetensors")
         save_checkpoint(path, state, frozen, loop_state=loop_state,
-                        pack_spec=pack_spec)
+                        pack_spec=pack_spec, extra_meta=extra_meta)
         if jax.process_index() != 0:
             return path
         logger.info(f"Saved checkpoint {path}")

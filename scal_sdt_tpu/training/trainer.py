@@ -125,6 +125,22 @@ class Trainer:
         if lora_dropout:
             logger.info(f"LoRA dropout active on {len(lora_dropout)} modules")
 
+        # -- textual-inversion TRAINING (text/ti.py, beyond reference) ------
+        self.ti_meta = None
+        ti_conf = (config.custom_embeddings.get("train") or {}) \
+            if config.get("custom_embeddings") else {}
+        if ti_conf.get("enabled", False):
+            from ..text.ti import TRAINED_EXTRA_KEY, parse_ti_specs, setup_ti_training
+
+            if config.data.get("cache"):
+                raise ValueError(
+                    "custom_embeddings.train requires live text encoding; "
+                    "it cannot train from a precomputed condition cache")
+            specs = parse_ti_specs(ti_conf)
+            component_params["text_encoder"], self.ti_meta = setup_ti_training(
+                component_params["text_encoder"], self.tokenizer, specs,
+                seed=int(config.get("seed") or 0))
+
         # -- trainable / frozen partition -----------------------------------
         trainable: dict = {}
         frozen: dict = {}
@@ -132,6 +148,10 @@ class Trainer:
             f"{component_prefix(comp)}.{k}"
             for comp, res in self.resolutions.items() for k in res.trainable
         }
+        if self.ti_meta:
+            from ..text.ti import TRAINED_EXTRA_KEY
+
+            trainable_keys.add(f"{TE_PREFIX}.{TRAINED_EXTRA_KEY}")
         all_params = {}
         all_params.update(_prefixed(component_params["unet"], UNET_PREFIX))
         all_params.update(_prefixed(component_params["text_encoder"], TE_PREFIX))
@@ -166,6 +186,14 @@ class Trainer:
             for group in res.groups:
                 overrides[f"g{g}"] = group.optimizer
                 g += 1
+        if self.ti_meta:
+            from ..text.ti import TRAINED_EXTRA_KEY
+
+            # own group: TI uses a much higher lr than model fine-tuning
+            # (5e-3 typical) and no weight decay
+            labels[f"{TE_PREFIX}.{TRAINED_EXTRA_KEY}"] = "ti"
+            overrides["ti"] = {"lr": float(ti_conf.get("lr", 5e-3)),
+                               "weight_decay": 0.0}
         # -- small-leaf slab packing (training/packing.py) ------------------
         # The update program is launch-bound per leaf on TPU; packing small
         # leaves into per-(component, group) slabs turns hundreds of tiny
@@ -400,7 +428,9 @@ class Trainer:
         self.ckpt.save(self.state, self.frozen, all_metrics,
                        loop_state={"epoch": epoch,
                                    "batch_in_epoch": self.batch_in_epoch},
-                       pack_spec=self.pack_spec)
+                       pack_spec=self.pack_spec,
+                       extra_meta={"ti_tokens": self.ti_meta} if self.ti_meta
+                       else None)
 
     # ------------------------------------------------------------- sampling
 

@@ -51,6 +51,8 @@ _SLOW_TESTS = {
     "test_checkpoint_save_and_resume",
     "test_sample_images_end_to_end_methods",
     "test_img2img_end_to_end",
+    "test_ti_e2e_trains_only_embedding_rows",
+    "test_ti_rejects_cached_conditions",
     "test_sample_cli_writes_images",
     "test_sample_cli_overlays_training_checkpoint",
 }
