@@ -219,15 +219,29 @@ def load_ldm_checkpoint(path: Path, ldm_config: Optional[Config] = None,
 
 
 def load_components(config: Config) -> LoadedModels:
-    """Dispatch on config.model like the reference (modules/model.py:126-133)."""
+    """Dispatch on config.model like the reference (modules/model.py:126-133).
+
+    An optional ``schedule:`` config section overrides fields of the loaded
+    noise schedule (e.g. ``prediction_type: v`` +
+    ``rescale_zero_terminal_snr: true`` to fine-tune an epsilon model into
+    a zero-terminal-SNR v-prediction one, arXiv:2305.08891)."""
     name = config.model
     if name is None:
         raise ValueError("config.model is not set")
     p = Path(str(name))
     if p.is_file():
-        return load_ldm_checkpoint(p, get_ldm_config(config.get("ldm_config")),
-                                   config.get("vae"))
-    if p.is_dir():
-        return load_diffusers_dir(p, config.get("vae"))
-    raise FileNotFoundError(
-        f"Model '{name}' not found locally (hub download unavailable offline)")
+        models = load_ldm_checkpoint(p, get_ldm_config(config.get("ldm_config")),
+                                     config.get("vae"))
+    elif p.is_dir():
+        models = load_diffusers_dir(p, config.get("vae"))
+    else:
+        raise FileNotFoundError(
+            f"Model '{name}' not found locally (hub download unavailable offline)")
+
+    overrides = dict(config.get("schedule") or {})
+    if overrides:
+        import dataclasses
+
+        models = dataclasses.replace(
+            models, schedule=dataclasses.replace(models.schedule, **overrides))
+    return models

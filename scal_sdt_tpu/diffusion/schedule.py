@@ -33,6 +33,18 @@ class NoiseSchedule:
     steps_offset: int = 1
     clip_sample: bool = False
     set_alpha_to_one: bool = False
+    # Zero-terminal-SNR beta rescale (arXiv:2305.08891; diffusers
+    # rescale_betas_zero_snr): forces alphas_cumprod[T-1] -> 0 so the last
+    # train timestep is pure noise. Requires v-prediction (epsilon is
+    # undefined at SNR 0).
+    rescale_zero_terminal_snr: bool = False
+
+    def __post_init__(self):
+        if self.rescale_zero_terminal_snr and self.prediction_type == "epsilon":
+            raise ValueError(
+                "rescale_zero_terminal_snr requires v (or sample) prediction: "
+                "at terminal SNR 0 the epsilon target carries no signal "
+                "(arXiv:2305.08891 §4)")
 
     @property
     def betas(self) -> np.ndarray:
@@ -45,7 +57,14 @@ class NoiseSchedule:
 
     @property
     def alphas_cumprod(self) -> np.ndarray:
-        return np.cumprod(1.0 - self.betas).astype(np.float32)
+        acp = np.cumprod(1.0 - self.betas)
+        if self.rescale_zero_terminal_snr:
+            # shift-and-scale sqrt(abar) so the terminal value is exactly 0
+            # while the first keeps its original value (paper Alg. 1)
+            s = np.sqrt(acp)
+            s = (s - s[-1]) * (s[0] / (s[0] - s[-1]))
+            acp = np.square(s)
+        return acp.astype(np.float32)
 
     # -- arrays used inside jit ------------------------------------------------
 
@@ -121,6 +140,8 @@ class NoiseSchedule:
             steps_offset=int(config.get("steps_offset", 1)),
             clip_sample=bool(config.get("clip_sample", False)),
             set_alpha_to_one=bool(config.get("set_alpha_to_one", False)),
+            rescale_zero_terminal_snr=bool(
+                config.get("rescale_betas_zero_snr", False)),
         )
 
 
