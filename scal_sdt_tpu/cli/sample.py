@@ -66,8 +66,11 @@ def _merge_checkpoint(models, ckpt_path: Path) -> dict:
 @click.option("--height", default=512, show_default=True)
 @click.option("--seed", default=42, show_default=True)
 @click.option("--method", default="ddim", show_default=True,
-              type=click.Choice(["ddim", "euler", "euler_a"]),
-              help="Sampler (euler/euler_a are k-diffusion style)")
+              type=click.Choice(["ddim", "euler", "euler_a", "dpmpp_2m"]),
+              help="Sampler (euler/euler_a/dpmpp_2m are k-diffusion style)")
+@click.option("--guidance-rescale", default=0.0, show_default=True,
+              help="CFG rescale phi (arXiv:2305.08891; ~0.7 for "
+                   "zero-terminal-SNR v-prediction models)")
 @click.option("--init-image", type=click.Path(exists=True, path_type=Path),
               default=None, help="img2img init image")
 @click.option("--strength", default=0.75, show_default=True,
@@ -79,7 +82,8 @@ def _merge_checkpoint(models, ckpt_path: Path) -> dict:
 @click.option("--out", type=click.Path(path_type=Path), default=Path("samples"),
               show_default=True)
 def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
-         seed, method, init_image, strength, clip_skip, tokenizer_src, out):
+         seed, method, guidance_rescale, init_image, strength, clip_skip,
+         tokenizer_src, out):
     logging.basicConfig(level=logging.INFO)
 
     from ..conf import Config, default, merge
@@ -131,7 +135,8 @@ def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
             models.unet, models.vae, models.clip, tokenizer,
             batch, negative, spec, steps=int(steps), cfg_scale=float(cfg),
             width=int(width), height=int(height), seed=int(seed) + rep,
-            method=method, init_image=init_arr, strength=float(strength))
+            method=method, init_image=init_arr, strength=float(strength),
+            guidance_rescale=float(guidance_rescale))
         for i, img in enumerate(images):
             path = out / f"{i:02d}_{rep:02d}.png"
             Image.fromarray(img).save(path)

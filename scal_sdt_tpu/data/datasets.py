@@ -127,12 +127,13 @@ class ImagePromptDataset:
 
     def __init__(self, concepts: list[Concept], center_crop: bool = False,
                  augment_config=None, cache_file: Optional[Union[str, Path]] = None,
-                 seed: int = 0):
+                 seed: int = 0, caption_config=None):
         self.dir_prompt_map = {Path(c.path): c.prompt for c in concepts}
         self.image_paths = list(list_images(*self.dir_prompt_map.keys()))
         self.center_crop = center_crop
         self.augment = AugmentTransforms(augment_config) if augment_config else None
         self.cache = LatentCache(cache_file) if cache_file is not None else None
+        self.caption = dict(caption_config or {})
         self.seed = int(seed)
         # epoch is set by the pipeline each pass so per-item draws vary across
         # epochs but replay exactly on resume (mid-epoch resume fidelity)
@@ -157,8 +158,40 @@ class ImagePromptDataset:
         return Item(
             id=index.value,
             image=self._read_and_transform(path, index.size, rng),
-            prompt=self.get_prompt(path),
+            prompt=self._transform_caption(self.get_prompt(path), rng),
         )
+
+    def _transform_caption(self, prompt: str, rng: random.Random) -> str:
+        """kohya-style caption regularization (``data.caption:`` config,
+        beyond reference parity). Deterministic per (seed, epoch, item) so
+        resume replays the same draws. Applies only on the image path —
+        cached conds are precomputed before any caption transform.
+
+        dropout:     prob. the whole caption becomes "" (trains the uncond)
+        tag_shuffle: shuffle the comma-separated tag list
+        tag_dropout: per-tag drop probability
+        keep_tokens: first N tags exempt from shuffle/dropout
+        """
+        cc = self.caption
+        if not cc:
+            return prompt
+        # draw nothing when a knob is off: the per-item rng is shared with
+        # crop/augment draws, and an unused draw would shift those
+        dropout = float(cc.get("dropout", 0.0))
+        if dropout > 0.0 and rng.random() < dropout:
+            return ""
+        shuffle = bool(cc.get("tag_shuffle", False))
+        tag_dropout = float(cc.get("tag_dropout", 0.0))
+        if not shuffle and tag_dropout <= 0.0:
+            return prompt
+        tags = [t.strip() for t in prompt.split(",")]
+        keep = int(cc.get("keep_tokens", 0))
+        head, tail = tags[:keep], tags[keep:]
+        if tag_dropout > 0.0:
+            tail = [t for t in tail if rng.random() >= tag_dropout]
+        if shuffle:
+            rng.shuffle(tail)
+        return ", ".join(head + tail)
 
     def get_prompt(self, path: Path) -> str:
         prompt = self.dir_prompt_map[path.parent]

@@ -51,6 +51,7 @@ def get_dataset(config: Config, use_cache: bool = True):
         "augment_config": config.get("augment"),
         "cache_file": config.data.get("cache") if use_cache else None,
         "seed": int(config.get("seed") or 0),
+        "caption_config": config.data.get("caption"),
     }
     if arb and config.aspect_ratio_bucket.get("debug"):
         params["debug"] = True

@@ -41,6 +41,21 @@ class SamplerSpec:
     dtype: jnp.dtype = jnp.bfloat16
 
 
+def _cfg_combine(pred_u, pred_c, cfg_scale: float, guidance_rescale: float):
+    """Classifier-free guidance with optional rescale (arXiv:2305.08891 §3.4,
+    diffusers ``rescale_noise_cfg``): re-match the CFG'd prediction's
+    per-sample std to the conditional prediction's, then lerp by phi.
+    Recommended ~0.7 with zero-terminal-SNR v-prediction models."""
+    pred = pred_u + cfg_scale * (pred_c - pred_u)
+    if guidance_rescale > 0.0:
+        axes = tuple(range(1, pred.ndim))
+        std_c = jnp.std(pred_c, axis=axes, keepdims=True)
+        std_cfg = jnp.std(pred, axis=axes, keepdims=True)
+        rescaled = pred * (std_c / jnp.maximum(std_cfg, 1e-8))
+        pred = guidance_rescale * rescaled + (1.0 - guidance_rescale) * pred
+    return pred
+
+
 def _pred_to_eps_x0(pred, x, t, schedule: NoiseSchedule):
     acp = jnp.asarray(schedule.alphas_cumprod)
     sa = jnp.sqrt(acp)[t].astype(x.dtype)
@@ -60,12 +75,14 @@ def _pred_to_eps_x0(pred, x, t, schedule: NoiseSchedule):
 
 
 @partial(jax.jit, static_argnames=("spec", "num_steps", "cfg_scale", "height",
-                                   "width", "batch", "t_start_index"))
+                                   "width", "batch", "t_start_index",
+                                   "guidance_rescale"))
 def ddim_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.ndarray,
                         rng: jax.Array, spec: SamplerSpec, num_steps: int,
                         cfg_scale: float, height: int, width: int, batch: int,
                         init_latents: Optional[jnp.ndarray] = None,
-                        t_start_index: int = 0) -> jnp.ndarray:
+                        t_start_index: int = 0,
+                        guidance_rescale: float = 0.0) -> jnp.ndarray:
     """Run the DDIM loop, returns final latents (B, h/8, w/8, 4) unscaled.
 
     img2img: pass scaled ``init_latents`` + ``t_start_index`` (the index
@@ -95,7 +112,7 @@ def ddim_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.ndar
         t_b = jnp.full((2 * batch,), t, jnp.int32)
         pred = unet_apply(unet_params, pair, t_b, context, spec.unet_config)
         pred_u, pred_c = jnp.split(pred, 2, axis=0)
-        pred = pred_u + cfg_scale * (pred_c - pred_u)
+        pred = _cfg_combine(pred_u, pred_c, cfg_scale, guidance_rescale)
 
         eps, x0 = _pred_to_eps_x0(pred, x, t, schedule)
         if schedule.clip_sample:
@@ -108,15 +125,27 @@ def ddim_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.ndar
     return x
 
 
+def _denoised_from_pred(x, sig, pred, prediction_type: str):
+    """Model prediction -> denoised x0 in k-diffusion sigma space
+    (x = x0 + sigma*eps; the UNet saw x / sqrt(sigma^2+1))."""
+    if prediction_type == "epsilon":
+        return x - sig * pred
+    if prediction_type == "v":
+        return x / (sig ** 2 + 1.0) - pred * sig / jnp.sqrt(sig ** 2 + 1.0)
+    raise ValueError(f"sigma-space samplers do not support "
+                     f"prediction_type={prediction_type!r}")
+
+
 @partial(jax.jit, static_argnames=("spec", "num_steps", "cfg_scale", "height",
                                    "width", "batch", "ancestral",
-                                   "t_start_index"))
+                                   "t_start_index", "guidance_rescale"))
 def euler_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.ndarray,
                          rng: jax.Array, spec: SamplerSpec, num_steps: int,
                          cfg_scale: float, height: int, width: int, batch: int,
                          ancestral: bool = False,
                          init_latents: Optional[jnp.ndarray] = None,
-                         t_start_index: int = 0) -> jnp.ndarray:
+                         t_start_index: int = 0,
+                         guidance_rescale: float = 0.0) -> jnp.ndarray:
     """Euler / Euler-ancestral (k-diffusion style on the discrete VP sigmas,
     diffusers EulerDiscreteScheduler semantics) — the WebUI ecosystem's
     default samplers, beyond reference parity. One lax.scan program.
@@ -155,12 +184,9 @@ def euler_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.nda
         t_b = jnp.full((2 * batch,), t, jnp.int32)
         pred = unet_apply(unet_params, pair, t_b, context, spec.unet_config)
         pred_u, pred_c = jnp.split(pred.astype(jnp.float32), 2, axis=0)
-        pred = pred_u + cfg_scale * (pred_c - pred_u)
+        pred = _cfg_combine(pred_u, pred_c, cfg_scale, guidance_rescale)
 
-        if schedule.prediction_type == "epsilon":
-            denoised = x - sig * pred
-        else:  # v
-            denoised = x / (sig ** 2 + 1.0) - pred * sig / jnp.sqrt(sig ** 2 + 1.0)
+        denoised = _denoised_from_pred(x, sig, pred, schedule.prediction_type)
 
         d = (x - denoised) / sig
         if ancestral:
@@ -179,7 +205,78 @@ def euler_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.nda
     return x.astype(spec.dtype)
 
 
-SAMPLER_METHODS = ("ddim", "euler", "euler_a")
+@partial(jax.jit, static_argnames=("spec", "num_steps", "cfg_scale", "height",
+                                   "width", "batch", "t_start_index",
+                                   "guidance_rescale"))
+def dpmpp_2m_sample_latents(unet_params: Params, cond: jnp.ndarray,
+                            uncond: jnp.ndarray, rng: jax.Array,
+                            spec: SamplerSpec, num_steps: int,
+                            cfg_scale: float, height: int, width: int,
+                            batch: int,
+                            init_latents: Optional[jnp.ndarray] = None,
+                            t_start_index: int = 0,
+                            guidance_rescale: float = 0.0) -> jnp.ndarray:
+    """DPM-Solver++(2M) (arXiv:2211.01095; k-diffusion ``sample_dpmpp_2m``) —
+    the WebUI ecosystem's favourite fast deterministic sampler (good quality
+    at 15-25 steps). Second-order multistep on log-sigma: one UNet call per
+    step, reusing the previous step's denoised estimate. One lax.scan.
+    """
+    schedule = spec.schedule
+    ts = jnp.asarray(ddim_timesteps(schedule, num_steps), jnp.int32)[t_start_index:]
+    acp = jnp.asarray(schedule.alphas_cumprod).astype(jnp.float32)
+    sigmas = jnp.sqrt((1.0 - acp[ts]) / acp[ts])
+    sigmas_next = jnp.concatenate([sigmas[1:], jnp.zeros((1,))])
+    n = ts.shape[0]
+
+    f = 2 ** (len(spec.vae_config.block_out_channels) - 1)
+    shape = (batch, height // f, width // f, spec.unet_config.in_channels)
+    rng, init_rng = jax.random.split(rng)
+    if init_latents is None:
+        x = (jax.random.normal(init_rng, shape, jnp.float32)
+             * jnp.sqrt(sigmas[0] ** 2 + 1.0))
+    else:
+        x = (init_latents.astype(jnp.float32)
+             + jax.random.normal(init_rng, shape, jnp.float32) * sigmas[0])
+
+    context = jnp.concatenate([uncond, cond], axis=0).astype(spec.dtype)
+
+    def step(carry, inp):
+        x, old_denoised, sig_prev = carry
+        t, sig, sig_n, i = inp
+        x_in = (x / jnp.sqrt(sig ** 2 + 1.0)).astype(spec.dtype)
+        pair = jnp.concatenate([x_in, x_in], axis=0)
+        t_b = jnp.full((2 * batch,), t, jnp.int32)
+        pred = unet_apply(unet_params, pair, t_b, context, spec.unet_config)
+        pred_u, pred_c = jnp.split(pred.astype(jnp.float32), 2, axis=0)
+        pred = _cfg_combine(pred_u, pred_c, cfg_scale, guidance_rescale)
+        denoised = _denoised_from_pred(x, sig, pred, schedule.prediction_type)
+
+        # t(sigma) = -log(sigma); at the final step sigma_next = 0 so
+        # h = inf and exp(-h)/expm1(-h) hit their exact limits (0 / -1):
+        # x becomes denoised_d with no special-casing needed.
+        tt, tn = -jnp.log(sig), -jnp.log(sig_n)
+        h = tn - tt
+        # second-order correction uses the previous denoised estimate;
+        # first step (i == 0) has none and the final step (sigma_next == 0,
+        # h = inf) degenerates -> plain first-order step in both cases,
+        # matching k-diffusion's `old_denoised is None or sigmas[i+1] == 0`
+        second = (i > 0) & (sig_n > 0.0)
+        h_last = tt + jnp.log(sig_prev)
+        r_safe = jnp.where(second, h_last / h, 1.0)
+        c = 1.0 / (2.0 * r_safe)
+        denoised_d = jnp.where(second,
+                               (1.0 + c) * denoised - c * old_denoised,
+                               denoised)
+        x = (sig_n / sig) * x - jnp.expm1(-h) * denoised_d
+        return (x, denoised, sig), ()
+
+    (x, _, _), _ = jax.lax.scan(
+        step, (x, jnp.zeros_like(x), sigmas[0]),
+        (ts, sigmas, sigmas_next, jnp.arange(n)))
+    return x.astype(spec.dtype)
+
+
+SAMPLER_METHODS = ("ddim", "euler", "euler_a", "dpmpp_2m")
 
 
 def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
@@ -189,7 +286,8 @@ def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
                   seed: Optional[int] = None, rng: Optional[jax.Array] = None,
                   method: str = "ddim",
                   init_image: Optional[np.ndarray] = None,
-                  strength: float = 0.75) -> np.ndarray:
+                  strength: float = 0.75,
+                  guidance_rescale: float = 0.0) -> np.ndarray:
     """Full text->image path. Returns uint8 (B, H, W, 3).
 
     img2img: ``init_image`` is (H, W, 3) or (B, H, W, 3) float in [-1, 1];
@@ -227,13 +325,22 @@ def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
         latents = ddim_sample_latents(cast(unet_params), cond, uncond, rng, spec,
                                       steps, float(cfg_scale), height, width, batch,
                                       init_latents=init_latents,
-                                      t_start_index=t_start)
+                                      t_start_index=t_start,
+                                      guidance_rescale=float(guidance_rescale))
     elif method in ("euler", "euler_a"):
         latents = euler_sample_latents(cast(unet_params), cond, uncond, rng, spec,
                                        steps, float(cfg_scale), height, width,
                                        batch, ancestral=method == "euler_a",
                                        init_latents=init_latents,
-                                       t_start_index=t_start)
+                                       t_start_index=t_start,
+                                       guidance_rescale=float(guidance_rescale))
+    elif method == "dpmpp_2m":
+        latents = dpmpp_2m_sample_latents(cast(unet_params), cond, uncond, rng,
+                                          spec, steps, float(cfg_scale), height,
+                                          width, batch,
+                                          init_latents=init_latents,
+                                          t_start_index=t_start,
+                                          guidance_rescale=float(guidance_rescale))
     else:
         raise ValueError(f"Unknown sampler method {method!r}; "
                          f"choose from {SAMPLER_METHODS}")

@@ -37,6 +37,8 @@ _ADAMW_NAMES = {"adamw", "torch.optim.adamw", "bitsandbytes.optim.adamw"}
 _ADAMW_8BIT_NAMES = {"adamw8bit", "bitsandbytes.optim.adamw8bit"}
 _ADAM_NAMES = {"adam", "torch.optim.adam"}
 _SGD_NAMES = {"sgd", "torch.optim.sgd"}
+_LION_NAMES = {"lion", "lion_pytorch.lion", "bitsandbytes.optim.lion"}
+_ADAFACTOR_NAMES = {"adafactor", "transformers.optimization.adafactor"}
 
 
 def lr_scale_coeff(config: Config, num_processes: int) -> float:
@@ -210,6 +212,24 @@ def _group_transform(name: str, lr: float, betas: tuple[float, float], eps: floa
             parts.append(_add_decayed_weights_lowp(weight_decay))
     elif name in _ADAM_NAMES:
         parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    elif name in _LION_NAMES:
+        # sign-based update with one momentum buffer (half of Adam's
+        # optimizer HBM even at fp32); moment_dtype halves it again
+        import jax.numpy as jnp
+
+        mu_dtype = (jnp.bfloat16 if str(moment_dtype) == "bf16"
+                    else None) if moment_dtype else None
+        parts.append(optax.scale_by_lion(b1=betas[0], b2=betas[1],
+                                         mu_dtype=mu_dtype))
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+    elif name in _ADAFACTOR_NAMES:
+        # factored second moment (rows+cols instead of a full buffer) —
+        # near-zero optimizer HBM; the TPU-classic memory-saving optimizer
+        parts.append(optax.scale_by_factored_rms(decay_rate=betas[1]))
+        parts.append(optax.clip_by_block_rms(1.0))
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
     elif name in _SGD_NAMES:
         if weight_decay:
             parts.append(optax.add_decayed_weights(weight_decay))

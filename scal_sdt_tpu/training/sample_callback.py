@@ -70,6 +70,9 @@ class SampleCallback:
                     height=int(concept.get("height", 512)),
                     rng=jax.random.fold_in(jax.random.PRNGKey(seed), len(images)),
                     method=concept.get("method", sampling.get("method", "ddim")),
+                    guidance_rescale=float(concept.get(
+                        "guidance_rescale",
+                        sampling.get("guidance_rescale", 0.0))),
                 )
                 images.extend(out)
                 remaining -= n

@@ -67,6 +67,10 @@ class StepSpec:
     # modern training-quality knobs (beyond reference parity; config `loss:`)
     min_snr_gamma: Optional[float] = None   # arXiv:2303.09556
     noise_offset: float = 0.0               # per-channel DC noise offset
+    # pyramid/multi-resolution noise (kohya naming): mix in upsampled
+    # low-frequency noise octaves, discount^i each, then renormalize
+    multires_noise_iterations: int = 0
+    multires_noise_discount: float = 0.25
 
     @classmethod
     def from_config(cls, config: Config, unet_config: UNetConfig,
@@ -100,6 +104,12 @@ class StepSpec:
                            else None),
             noise_offset=float((config.get("loss") or {}).get("noise_offset")
                                or 0.0),
+            multires_noise_iterations=int(
+                (config.get("loss") or {}).get("multires_noise_iterations")
+                or 0),
+            multires_noise_discount=float(
+                (config.get("loss") or {}).get("multires_noise_discount")
+                or 0.25),
         )
 
 
@@ -116,6 +126,25 @@ def _merged_component(trainable: Params, frozen: Params, prefix: str, dtype) -> 
                 key = k[cut:]
                 out[key] = v.astype(dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
     return out
+
+
+def _multires_noise(rng: jax.Array, noise: jnp.ndarray, iterations: int,
+                    discount: float) -> jnp.ndarray:
+    """Pyramid noise (kohya multires_noise): add bilinearly-upsampled noise
+    octaves at halved resolutions, weight discount^i, renormalize each sample
+    to unit std. Static python loop — shapes are compile-time constants."""
+    b, h, w, c = noise.shape
+    total = noise
+    for i in range(1, iterations + 1):
+        hi, wi = max(1, h // (2 ** i)), max(1, w // (2 ** i))
+        rng, k = jax.random.split(rng)
+        octave = jax.random.normal(k, (b, hi, wi, c), noise.dtype)
+        total = total + (discount ** i) * jax.image.resize(
+            octave, noise.shape, "bilinear")
+        if hi == 1 and wi == 1:
+            break
+    std = jnp.std(total.astype(jnp.float32), axis=(1, 2, 3), keepdims=True)
+    return (total / jnp.maximum(std, 1e-8).astype(noise.dtype))
 
 
 def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
@@ -165,6 +194,10 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
         rng_noise, rng_off = jax.random.split(rng_noise)
         noise = noise + spec.noise_offset * jax.random.normal(
             rng_off, (bsz, 1, 1, latents.shape[-1]), dtype=dt)
+    if spec.multires_noise_iterations > 0:
+        rng_noise, rng_mn = jax.random.split(rng_noise)
+        noise = _multires_noise(rng_mn, noise, spec.multires_noise_iterations,
+                                spec.multires_noise_discount)
     timesteps = jax.random.randint(rng_t, (bsz,), 0, spec.schedule.num_train_timesteps)
     noisy = spec.schedule.add_noise(latents, noise, timesteps)
 

@@ -88,3 +88,50 @@ def test_constant_warmup_strategy_is_implemented():
     sched = wrap_warmup(base, 1.0, init_lr=0.1, num_warmup=10, strategy="constant")
     np.testing.assert_allclose(float(sched(jnp.asarray(5))), 0.1, rtol=1e-6)
     np.testing.assert_allclose(float(sched(jnp.asarray(10))), 1.0, rtol=1e-6)
+
+
+def test_lion_and_adafactor_reduce_loss():
+    """New optimizer families (lion / adafactor) actually optimize, and
+    adafactor's state is factored (no full second-moment buffer)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scal_sdt_tpu.conf import Config, default, merge
+    from scal_sdt_tpu.training.optimizers import build_optimizer
+
+    params = {"w": jnp.asarray(np.random.RandomState(0).randn(16, 16), jnp.float32)}
+    target = jnp.zeros((16, 16), jnp.float32)
+
+    for name in ("lion", "adafactor", "lion_pytorch.Lion",
+                 "transformers.optimization.Adafactor"):
+        cfg = merge(default(), Config({
+            "batch_size": 1,
+            "optimizer": {"name": name,
+                          "params": {"lr": 1e-2, "beta1": 0.9, "beta2": 0.99,
+                                     "weight_decay": 1e-2, "eps": 1e-8},
+                          "lr_scale": {"enabled": False}},
+        }))
+        tx, lr_fn = build_optimizer(cfg, {"w": "g"}, {}, steps_per_epoch=10,
+                                    num_processes=1)
+        state = tx.init(params)
+        p = dict(params)
+        loss = lambda pp: jnp.mean((pp["w"] - target) ** 2)
+        l0 = float(loss(p))
+        for _ in range(20):
+            g = jax.grad(loss)(p)
+            up, state = tx.update(g, state, p)
+            p = jax.tree.map(lambda a, b: a + b, p, up)
+        assert float(loss(p)) < l0 * 0.9, name
+
+    # factored: adafactor state for a (256,256) matrix stores 256-vectors,
+    # not a full (256,256) second-moment buffer (optax factors dims >= 128)
+    cfg = merge(default(), Config({
+        "batch_size": 1,
+        "optimizer": {"name": "adafactor", "params": {"lr": 1e-2},
+                      "lr_scale": {"enabled": False}},
+    }))
+    tx, _ = build_optimizer(cfg, {"w": "g"}, {}, 10, 1)
+    big = {"w": jnp.zeros((256, 256), jnp.float32)}
+    leaves = jax.tree.leaves(tx.init(big))
+    assert all(l.size <= 256 for l in leaves if hasattr(l, "size"))
