@@ -135,8 +135,12 @@ def _spatial_transformer(p: dict, pre: str, x: torch.Tensor, context: torch.Tens
 
 @torch.no_grad()
 def unet_forward(params: dict, sample: torch.Tensor, timesteps: torch.Tensor,
-                 context: torch.Tensor, config) -> torch.Tensor:
-    """config: scal_sdt_tpu.models.unet.UNetConfig. sample NCHW."""
+                 context: torch.Tensor, config,
+                 added_cond: dict | None = None) -> torch.Tensor:
+    """config: scal_sdt_tpu.models.unet.UNetConfig. sample NCHW.
+
+    added_cond: SDXL text_time micro-conditioning {'text_embeds': (B, D),
+    'time_ids': (B, 6)} (diffusers UNet2DConditionModel added_cond_kwargs)."""
     g = config.norm_num_groups
 
     t_feat = timestep_embedding(timesteps, config.block_out_channels[0],
@@ -144,6 +148,18 @@ def unet_forward(params: dict, sample: torch.Tensor, timesteps: torch.Tensor,
     temb = linear(params, "time_embedding.linear_1", t_feat)
     temb = F.silu(temb)
     temb = linear(params, "time_embedding.linear_2", temb)
+
+    if getattr(config, "addition_embed_type", None) == "text_time":
+        ids = added_cond["time_ids"].reshape(-1)
+        ids_emb = timestep_embedding(ids, config.addition_time_embed_dim,
+                                     config.flip_sin_to_cos,
+                                     float(config.freq_shift))
+        ids_emb = ids_emb.reshape(added_cond["time_ids"].shape[0], -1)
+        add = torch.cat([added_cond["text_embeds"], ids_emb], dim=-1)
+        aug = linear(params, "add_embedding.linear_1", add)
+        aug = F.silu(aug)
+        aug = linear(params, "add_embedding.linear_2", aug)
+        temb = temb + aug
 
     h = conv2d(params, "conv_in", sample)
     skips = [h]

@@ -105,6 +105,8 @@ def main(config_file: IO[str]):
                     spec=spec,
                     steps=int(autogen.get("steps", 28)),
                     cfg_scale=float(autogen.get("cfg_scale", 7.5)),
+                    method=autogen.get("method", "ddim"),
+                    guidance_rescale=float(autogen.get("guidance_rescale", 0.0)),
                     width=w, height=h,
                     rng=jax.random.fold_in(
                         jax.random.PRNGKey(int(config.get("seed") or 0)), rng_counter),

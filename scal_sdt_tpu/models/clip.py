@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,10 +35,22 @@ class CLIPTextConfig:
     num_attention_heads: int = 12
     max_position_embeddings: int = 77
     hidden_act: str = "quick_gelu"   # SD2.x's OpenCLIP-derived encoder: "gelu"
+    # CLIPTextModelWithProjection (SDXL text encoder 2): pooled EOS state
+    # projected to this width; None = no projection head.
+    projection_dim: Optional[int] = None
+    eos_token_id: int = 49407
 
     @classmethod
     def vit_l(cls) -> "CLIPTextConfig":
         return cls()
+
+    @classmethod
+    def sdxl_g(cls) -> "CLIPTextConfig":
+        """SDXL text encoder 2 (OpenCLIP ViT-bigG in transformers layout,
+        CLIPTextModelWithProjection)."""
+        return cls(hidden_size=1280, intermediate_size=5120,
+                   num_hidden_layers=32, num_attention_heads=20,
+                   hidden_act="gelu", projection_dim=1280)
 
     @classmethod
     def sd21(cls) -> "CLIPTextConfig":
@@ -59,7 +72,14 @@ def clip_text_apply(params: Params, input_ids: jnp.ndarray, config: CLIPTextConf
     ``stop_at_layer=k`` drops the last ``k - 1`` transformer layers before the
     final layer norm (CLIP-skip).
     """
-    p = params
+    x = _embed(params, input_ids)
+    num_layers = config.num_hidden_layers - (stop_at_layer - 1)
+    for i in range(num_layers):
+        x = _encoder_layer(params, i, x, config)
+    return layer_norm(params, "text_model.final_layer_norm", x)
+
+
+def _embed(p: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
     tok = p["text_model.embeddings.token_embedding.weight"]
     # Textual-inversion TRAINING (text/ti.py, beyond reference parity):
     # trained placeholder vectors live in a separate trainable leaf appended
@@ -68,27 +88,60 @@ def clip_text_apply(params: Params, input_ids: jnp.ndarray, config: CLIPTextConf
     if extra is not None:
         tok = jnp.concatenate([tok, extra.astype(tok.dtype)], axis=0)
     pos = p["text_model.embeddings.position_embedding.weight"]
-    length = input_ids.shape[1]
-    x = tok[input_ids] + pos[:length]
+    return tok[input_ids] + pos[:input_ids.shape[1]]
 
-    num_layers = config.num_hidden_layers - (stop_at_layer - 1)
+
+def _encoder_layer(p: Params, i: int, x: jnp.ndarray,
+                   config: CLIPTextConfig) -> jnp.ndarray:
     heads = config.num_attention_heads
     head_dim = config.hidden_size // heads
+    pre = f"text_model.encoder.layers.{i}"
+    n = layer_norm(p, f"{pre}.layer_norm1", x)
+    q = linear(p, f"{pre}.self_attn.q_proj", n)
+    k = linear(p, f"{pre}.self_attn.k_proj", n)
+    v = linear(p, f"{pre}.self_attn.v_proj", n)
+    attn = multi_head_attention(q, k, v, heads, float(head_dim) ** -0.5, causal=True)
+    x = x + linear(p, f"{pre}.self_attn.out_proj", attn)
+    n = layer_norm(p, f"{pre}.layer_norm2", x)
+    h = linear(p, f"{pre}.mlp.fc1", n)
+    h = quick_gelu(h) if config.hidden_act == "quick_gelu" else gelu(h)
+    return x + linear(p, f"{pre}.mlp.fc2", h)
 
-    for i in range(num_layers):
-        pre = f"text_model.encoder.layers.{i}"
-        n = layer_norm(p, f"{pre}.layer_norm1", x)
-        q = linear(p, f"{pre}.self_attn.q_proj", n)
-        k = linear(p, f"{pre}.self_attn.k_proj", n)
-        v = linear(p, f"{pre}.self_attn.v_proj", n)
-        attn = multi_head_attention(q, k, v, heads, float(head_dim) ** -0.5, causal=True)
-        x = x + linear(p, f"{pre}.self_attn.out_proj", attn)
-        n = layer_norm(p, f"{pre}.layer_norm2", x)
-        h = linear(p, f"{pre}.mlp.fc1", n)
-        h = quick_gelu(h) if config.hidden_act == "quick_gelu" else gelu(h)
-        x = x + linear(p, f"{pre}.mlp.fc2", h)
 
-    return layer_norm(p, "text_model.final_layer_norm", x)
+def clip_text_encode_sdxl(params: Params, input_ids: jnp.ndarray,
+                          config: CLIPTextConfig
+                          ) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """SDXL-style encode: (penultimate hidden state WITHOUT final layer norm,
+    pooled projected embedding).
+
+    Matches diffusers' StableDiffusionXLPipeline.encode_prompt: the sequence
+    conditioning is ``hidden_states[-2]`` (raw, un-normed), while the pooled
+    vector comes from the FULL stack -> final_layer_norm -> EOS-position
+    gather -> ``text_projection`` (when the config has one, i.e. encoder 2).
+    """
+    x = _embed(params, input_ids)
+    penult = None
+    for i in range(config.num_hidden_layers):
+        if i == config.num_hidden_layers - 1:
+            penult = x
+        x = _encoder_layer(params, i, x, config)
+    x = layer_norm(params, "text_model.final_layer_norm", x)
+
+    pooled = None
+    if config.projection_dim is not None:
+        # transformers parity quirk (modeling_clip.py): with the legacy
+        # eos_token_id == 2 configs the pooled position is argmax(input_ids)
+        # (highest token id); otherwise the first EOS occurrence. For the
+        # real CLIP vocab (eos 49407 = max id) the two coincide.
+        if config.eos_token_id == 2:
+            eos = jnp.argmax(input_ids, axis=-1)
+        else:
+            eos = jnp.argmax((input_ids == config.eos_token_id).astype(jnp.int32),
+                             axis=-1)
+        gathered = x[jnp.arange(x.shape[0]), eos]
+        w = params["text_projection.weight"]
+        pooled = gathered @ w.astype(gathered.dtype).T
+    return penult, pooled
 
 
 def clip_param_shapes(config: CLIPTextConfig) -> dict[str, tuple[int, ...]]:
@@ -111,6 +164,8 @@ def clip_param_shapes(config: CLIPTextConfig) -> dict[str, tuple[int, ...]]:
         s[f"{pre}.mlp.fc1.bias"] = (m,)
         s[f"{pre}.mlp.fc2.weight"] = (d, m)
         s[f"{pre}.mlp.fc2.bias"] = (d,)
+    if config.projection_dim is not None:
+        s["text_projection.weight"] = (config.projection_dim, d)
     return s
 
 

@@ -48,6 +48,16 @@ class UNetConfig:
     # SD2.x Transformer2D uses nn.Linear proj_in/out instead of 1x1 convs.
     use_linear_projection: bool = False
     cross_attention_dim: int = 768
+    # SDXL: BasicTransformerBlocks per attention layer, int or per-level
+    # tuple ((1, 2, 10) for SDXL-base; the mid block uses the last level's).
+    transformer_layers_per_block: int | tuple[int, ...] = 1
+    # SDXL micro-conditioning ('text_time'): pooled text embed + fourier
+    # size/crop ids -> MLP -> added to the time embedding.
+    addition_embed_type: Optional[str] = None
+    addition_time_embed_dim: int = 256
+    # width of the concatenated [text_embeds, time_ids_embeds] vector
+    # (2816 = 1280 pooled + 6*256 fourier for SDXL-base)
+    projection_class_embeddings_input_dim: Optional[int] = None
     down_block_types: tuple[str, ...] = (
         "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D",
     )
@@ -78,6 +88,51 @@ class UNetConfig:
     def heads_at(self, level: int) -> int:
         h = self.num_attention_heads
         return h[level] if isinstance(h, (tuple, list)) else int(h)
+
+    def tf_depth_at(self, level: int) -> int:
+        d = self.transformer_layers_per_block
+        return d[level] if isinstance(d, (tuple, list)) else int(d)
+
+    @classmethod
+    def sdxl(cls) -> "UNetConfig":
+        """SDXL-base UNet (diffusers stabilityai/stable-diffusion-xl-base-1.0
+        unet/config.json): 3 levels, transformer depths (1, 2, 10), dual-
+        text-encoder context width 2048, text_time micro-conditioning."""
+        return cls(
+            block_out_channels=(320, 640, 1280),
+            num_attention_heads=(5, 10, 20),
+            use_linear_projection=True,
+            cross_attention_dim=2048,
+            transformer_layers_per_block=(1, 2, 10),
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D",
+                              "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+                            "UpBlock2D"),
+            addition_embed_type="text_time",
+            addition_time_embed_dim=256,
+            projection_class_embeddings_input_dim=2816,
+            sample_size=128,
+        )
+
+    @classmethod
+    def tiny_sdxl(cls) -> "UNetConfig":
+        """Miniature SDXL-shaped variant (text_time conditioning, per-level
+        transformer depth) for CPU tests."""
+        return cls(
+            block_out_channels=(32, 64),
+            layers_per_block=1,
+            num_attention_heads=(2, 4),
+            use_linear_projection=True,
+            cross_attention_dim=64,
+            transformer_layers_per_block=(1, 2),
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+            addition_embed_type="text_time",
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=32 + 6 * 8,  # pooled 32 + ids
+            norm_num_groups=8,
+            sample_size=8,
+        )
 
     @classmethod
     def tiny(cls) -> "UNetConfig":
@@ -225,11 +280,17 @@ def _upsample_nearest(x: jnp.ndarray) -> jnp.ndarray:
 
 def unet_apply(params: Params, sample: jnp.ndarray, timesteps: jnp.ndarray,
                context: jnp.ndarray, config: UNetConfig,
-               remat: bool | str = False) -> jnp.ndarray:
+               remat: bool | str = False,
+               added_cond: Optional[dict] = None) -> jnp.ndarray:
     """Denoising forward pass.
 
     sample: (B, H, W, C_in) NHWC latents; timesteps: (B,) int32;
     context: (B, L, cross_attention_dim). Returns (B, H, W, C_out).
+
+    added_cond (SDXL 'text_time' micro-conditioning, diffusers
+    added_cond_kwargs): {'text_embeds': (B, pooled_dim) pooled projected
+    embedding of text encoder 2, 'time_ids': (B, 6) float
+    [orig_h, orig_w, crop_top, crop_left, target_h, target_w]}.
 
     remat: False | True | 'high'. 'high' rematerialises only the
     highest-resolution blocks (first down / last up) — they hold most of the
@@ -255,6 +316,27 @@ def unet_apply(params: Params, sample: jnp.ndarray, timesteps: jnp.ndarray,
     temb = linear(params, "time_embedding.linear_1", t_feat)
     temb = silu(temb)
     temb = linear(params, "time_embedding.linear_2", temb)
+
+    if config.addition_embed_type == "text_time":
+        if added_cond is None:
+            raise ValueError(
+                "this UNet uses text_time conditioning: pass "
+                "added_cond={'text_embeds': (B, D), 'time_ids': (B, 6)}")
+        text_embeds = added_cond["text_embeds"].astype(sample.dtype)
+        time_ids = added_cond["time_ids"]
+        b = time_ids.shape[0]
+        # fourier-embed each of the 6 ids at addition_time_embed_dim, flatten
+        ids_emb = timestep_embedding(
+            time_ids.reshape(-1), config.addition_time_embed_dim,
+            flip_sin_to_cos=config.flip_sin_to_cos,
+            downscale_freq_shift=float(config.freq_shift),
+            dtype=sample.dtype,
+        ).reshape(b, -1)
+        add = jnp.concatenate([text_embeds, ids_emb], axis=-1)
+        aug = linear(params, "add_embedding.linear_1", add)
+        aug = silu(aug)
+        aug = linear(params, "add_embedding.linear_2", aug)
+        temb = temb + aug
 
     h = conv2d(params, "conv_in", sample)
     skips = [h]
@@ -354,19 +436,21 @@ def _attn_shapes(pre: str, dim: int, context_dim: int) -> dict[str, tuple[int, .
 
 
 def _transformer_shapes(pre: str, dim: int, context_dim: int,
-                        linear_proj: bool = False) -> dict[str, tuple[int, ...]]:
+                        linear_proj: bool = False,
+                        depth: int = 1) -> dict[str, tuple[int, ...]]:
     s = {}
     s.update(_norm_shapes(f"{pre}.norm", dim))
     proj = _linear_shapes if linear_proj else (lambda p, a, b: _conv_shapes(p, a, b, k=1))
     s.update(proj(f"{pre}.proj_in", dim, dim))
-    tb = f"{pre}.transformer_blocks.0"
-    s.update(_norm_shapes(f"{tb}.norm1", dim))
-    s.update(_attn_shapes(f"{tb}.attn1", dim, dim))
-    s.update(_norm_shapes(f"{tb}.norm2", dim))
-    s.update(_attn_shapes(f"{tb}.attn2", dim, context_dim))
-    s.update(_norm_shapes(f"{tb}.norm3", dim))
-    s.update(_linear_shapes(f"{tb}.ff.net.0.proj", dim, dim * 8))
-    s.update(_linear_shapes(f"{tb}.ff.net.2", dim * 4, dim))
+    for b in range(depth):
+        tb = f"{pre}.transformer_blocks.{b}"
+        s.update(_norm_shapes(f"{tb}.norm1", dim))
+        s.update(_attn_shapes(f"{tb}.attn1", dim, dim))
+        s.update(_norm_shapes(f"{tb}.norm2", dim))
+        s.update(_attn_shapes(f"{tb}.attn2", dim, context_dim))
+        s.update(_norm_shapes(f"{tb}.norm3", dim))
+        s.update(_linear_shapes(f"{tb}.ff.net.0.proj", dim, dim * 8))
+        s.update(_linear_shapes(f"{tb}.ff.net.2", dim * 4, dim))
     s.update(proj(f"{pre}.proj_out", dim, dim))
     return s
 
@@ -379,6 +463,13 @@ def unet_param_shapes(config: UNetConfig) -> dict[str, tuple[int, ...]]:
 
     s.update(_linear_shapes("time_embedding.linear_1", ch[0], temb_dim))
     s.update(_linear_shapes("time_embedding.linear_2", temb_dim, temb_dim))
+    if config.addition_embed_type == "text_time":
+        add_in = config.projection_class_embeddings_input_dim
+        if add_in is None:
+            raise ValueError("text_time conditioning requires "
+                             "projection_class_embeddings_input_dim")
+        s.update(_linear_shapes("add_embedding.linear_1", add_in, temb_dim))
+        s.update(_linear_shapes("add_embedding.linear_2", temb_dim, temb_dim))
     s.update(_conv_shapes("conv_in", config.in_channels, ch[0]))
 
     out_c = ch[0]
@@ -390,7 +481,8 @@ def unet_param_shapes(config: UNetConfig) -> dict[str, tuple[int, ...]]:
             s.update(_resnet_shapes(f"down_blocks.{i}.resnets.{j}", in_c if j == 0 else out_c, out_c, temb_dim))
             if has_attn:
                 s.update(_transformer_shapes(f"down_blocks.{i}.attentions.{j}", out_c, ctx,
-                                             config.use_linear_projection))
+                                             config.use_linear_projection,
+                                             depth=config.tf_depth_at(i)))
             down_out_channels.append(out_c)
         if i != len(config.down_block_types) - 1:
             s.update(_conv_shapes(f"down_blocks.{i}.downsamplers.0.conv", out_c, out_c))
@@ -399,7 +491,8 @@ def unet_param_shapes(config: UNetConfig) -> dict[str, tuple[int, ...]]:
     mid_c = ch[-1]
     s.update(_resnet_shapes("mid_block.resnets.0", mid_c, mid_c, temb_dim))
     s.update(_transformer_shapes("mid_block.attentions.0", mid_c, ctx,
-                                 config.use_linear_projection))
+                                 config.use_linear_projection,
+                                 depth=config.tf_depth_at(len(ch) - 1)))
     s.update(_resnet_shapes("mid_block.resnets.1", mid_c, mid_c, temb_dim))
 
     rev = list(reversed(ch))
@@ -413,7 +506,9 @@ def unet_param_shapes(config: UNetConfig) -> dict[str, tuple[int, ...]]:
             s.update(_resnet_shapes(f"up_blocks.{i}.resnets.{j}", in_c, out_ci, temb_dim))
             if has_attn:
                 s.update(_transformer_shapes(f"up_blocks.{i}.attentions.{j}", out_ci, ctx,
-                                             config.use_linear_projection))
+                                             config.use_linear_projection,
+                                             depth=config.tf_depth_at(
+                                                 len(ch) - 1 - i)))
         if i != len(config.up_block_types) - 1:
             s.update(_conv_shapes(f"up_blocks.{i}.upsamplers.0.conv", out_ci, out_ci))
         prev_out = out_ci

@@ -1,0 +1,141 @@
+"""SDXL model family: UNet (per-level transformer depth + text_time
+micro-conditioning) and dual-text-encoder CLIP (pooled projection,
+penultimate hidden state).
+
+UNet parity runs against the independent torch oracle
+(lab/torch_parity.py); CLIP parity runs against transformers'
+CLIPTextModelWithProjection.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from scal_sdt_tpu.models.clip import (
+    CLIPTextConfig, clip_param_shapes, clip_text_encode_sdxl)
+from scal_sdt_tpu.models.unet import (
+    UNetConfig, init_unet_params, unet_apply, unet_param_shapes)
+
+from lab.torch_parity import unet_forward
+
+
+def _to_torch(params):
+    return {k: torch.from_numpy(np.asarray(v)) for k, v in params.items()}
+
+
+def test_sdxl_unet_param_count_matches_diffusers():
+    """The exact SDXL-base UNet parameter count (2,567,463,684) proves the
+    shape template reproduces diffusers' architecture field-for-field."""
+    shapes = unet_param_shapes(UNetConfig.sdxl())
+    n = sum(int(np.prod(s)) for s in shapes.values())
+    assert n == 2_567_463_684
+
+
+def test_sdxl_transformer_depth_per_level():
+    cfg = UNetConfig.tiny_sdxl()
+    shapes = unet_param_shapes(cfg)
+    # level 1 has depth 2: transformer_blocks.1 exists there but nowhere at
+    # depth-1 levels; mid block uses the last level's depth (2)
+    assert "down_blocks.1.attentions.0.transformer_blocks.1.norm1.weight" in shapes
+    assert "mid_block.attentions.0.transformer_blocks.1.norm1.weight" in shapes
+    assert not any(k.startswith("down_blocks.0.attentions") for k in shapes)
+    # up level 0 mirrors down level 1 (depth 2)
+    assert "up_blocks.0.attentions.0.transformer_blocks.1.norm1.weight" in shapes
+
+
+def test_sdxl_unet_forward_parity_vs_torch():
+    config = UNetConfig.tiny_sdxl()
+    params = init_unet_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    b = 2
+    sample = rng.randn(b, 16, 16, 4).astype(np.float32)
+    timesteps = np.array([7, 421], dtype=np.int32)
+    context = rng.randn(b, 11, config.cross_attention_dim).astype(np.float32)
+    text_embeds = rng.randn(b, 32).astype(np.float32)
+    time_ids = np.array([[512, 512, 0, 0, 512, 512],
+                         [768, 512, 0, 128, 512, 512]], dtype=np.float32)
+
+    out_jax = np.asarray(unet_apply(
+        params, jnp.asarray(sample), jnp.asarray(timesteps),
+        jnp.asarray(context), config,
+        added_cond={"text_embeds": jnp.asarray(text_embeds),
+                    "time_ids": jnp.asarray(time_ids)}))
+
+    out_torch = unet_forward(
+        _to_torch(params), torch.from_numpy(sample).permute(0, 3, 1, 2),
+        torch.from_numpy(timesteps.astype(np.int64)),
+        torch.from_numpy(context), config,
+        added_cond={"text_embeds": torch.from_numpy(text_embeds),
+                    "time_ids": torch.from_numpy(time_ids)},
+    ).permute(0, 2, 3, 1).numpy()
+
+    scale = np.abs(out_torch).max()
+    assert np.abs(out_jax - out_torch).max() / scale < 1e-3
+
+
+def test_sdxl_added_cond_changes_output():
+    config = UNetConfig.tiny_sdxl()
+    params = init_unet_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    x = jnp.zeros((1, 16, 16, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 11, config.cross_attention_dim))
+    a = unet_apply(params, x, t, ctx, config,
+                   added_cond={"text_embeds": jnp.zeros((1, 32)),
+                               "time_ids": jnp.zeros((1, 6))})
+    b = unet_apply(params, x, t, ctx, config,
+                   added_cond={"text_embeds": jnp.ones((1, 32)),
+                               "time_ids": jnp.full((1, 6), 512.0)})
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+
+
+def _build_projection_pair(num_layers=3):
+    transformers = pytest.importorskip("transformers")
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=1000, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=num_layers, num_attention_heads=4,
+        max_position_embeddings=77, hidden_act="gelu",
+        projection_dim=48, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    model = transformers.CLIPTextModelWithProjection(hf_cfg).eval()
+    params = {k: jnp.asarray(v.numpy()) for k, v in model.state_dict().items()
+              if "position_ids" not in k}
+    ours_cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=num_layers, num_attention_heads=4,
+        hidden_act="gelu", projection_dim=48, eos_token_id=2)
+    return model, params, ours_cfg
+
+
+def test_sdxl_clip_penultimate_and_pooled_parity():
+    model, params, cfg = _build_projection_pair()
+    ids = np.array([[1, 5, 7, 9, 2] + [0] * 72,
+                    [1, 42, 2] + [0] * 74], dtype=np.int64)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids), output_hidden_states=True)
+    theirs_penult = out.hidden_states[-2].numpy()
+    theirs_pooled = out.text_embeds.numpy()
+
+    penult, pooled = clip_text_encode_sdxl(
+        params, jnp.asarray(ids.astype(np.int32)), cfg)
+    np.testing.assert_allclose(np.asarray(penult), theirs_penult,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pooled), theirs_pooled,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sdxl_clip_shapes_include_projection():
+    cfg = CLIPTextConfig(vocab_size=100, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         projection_dim=24)
+    shapes = clip_param_shapes(cfg)
+    assert shapes["text_projection.weight"] == (24, 32)
+
+
+def test_sdxl_g_config_is_bigg():
+    cfg = CLIPTextConfig.sdxl_g()
+    assert cfg.hidden_size == 1280 and cfg.num_hidden_layers == 32
+    assert cfg.projection_dim == 1280 and cfg.hidden_act == "gelu"
