@@ -69,6 +69,7 @@ def main(config_file: IO[str]):
         unet_config=models.unet_config, vae_config=models.vae_config,
         clip_config=models.clip_config, schedule=models.schedule,
         clip_stop_at_layer=int(config.get("clip_stop_at_layer", 1)),
+        clip2_config=models.clip2_config,
     )
 
     arb_config = config.aspect_ratio_bucket
@@ -107,6 +108,7 @@ def main(config_file: IO[str]):
                     cfg_scale=float(autogen.get("cfg_scale", 7.5)),
                     method=autogen.get("method", "ddim"),
                     guidance_rescale=float(autogen.get("guidance_rescale", 0.0)),
+                    clip2_params=models.clip2,
                     width=w, height=h,
                     rng=jax.random.fold_in(
                         jax.random.PRNGKey(int(config.get("seed") or 0)), rng_counter),

@@ -116,6 +116,7 @@ def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
         clip_config=models.clip_config,
         schedule=models.schedule,
         clip_stop_at_layer=int(clip_skip),
+        clip2_config=models.clip2_config,
     )
 
     from PIL import Image
@@ -136,7 +137,8 @@ def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
             batch, negative, spec, steps=int(steps), cfg_scale=float(cfg),
             width=int(width), height=int(height), seed=int(seed) + rep,
             method=method, init_image=init_arr, strength=float(strength),
-            guidance_rescale=float(guidance_rescale))
+            guidance_rescale=float(guidance_rescale),
+            clip2_params=models.clip2)
         for i, img in enumerate(images):
             path = out / f"{i:02d}_{rep:02d}.png"
             Image.fromarray(img).save(path)

@@ -46,6 +46,14 @@ class LoadedModels:
     clip: dict
     clip_config: CLIPTextConfig
     schedule: NoiseSchedule
+    # SDXL (dual-text-encoder) family: OpenCLIP bigG tower with projection
+    # (diffusers text_encoder_2/); None for SD1.x/2.x models.
+    clip2: Optional[dict] = None
+    clip2_config: Optional[CLIPTextConfig] = None
+
+    @property
+    def is_sdxl(self) -> bool:
+        return self.unet_config.addition_embed_type == "text_time"
 
 
 def _validate(params: dict, shapes: dict, what: str):
@@ -97,6 +105,13 @@ def _unet_config_from_df(cfg: dict) -> UNetConfig:
         up_block_types=tuple(cfg.get("up_block_types", UNetConfig.sd15().up_block_types)),
         norm_num_groups=cfg.get("norm_num_groups", 32),
         sample_size=cfg.get("sample_size", 64) or 64,
+        transformer_layers_per_block=(
+            tuple(t) if isinstance(t := cfg.get("transformer_layers_per_block", 1),
+                                   (list, tuple)) else int(t)),
+        addition_embed_type=cfg.get("addition_embed_type"),
+        addition_time_embed_dim=int(cfg.get("addition_time_embed_dim") or 256),
+        projection_class_embeddings_input_dim=cfg.get(
+            "projection_class_embeddings_input_dim"),
     )
 
 
@@ -114,9 +129,15 @@ def _vae_config_from_df(cfg: dict) -> VAEConfig:
     )
 
 
-def _clip_config_from_df(cfg: dict) -> CLIPTextConfig:
+def _clip_config_from_df(cfg: dict,
+                         with_projection: bool = False) -> CLIPTextConfig:
     if not cfg:
         return CLIPTextConfig.vit_l()
+    # only CLIPTextModelWithProjection components (SDXL text_encoder_2)
+    # carry a used projection head; plain CLIPTextModel configs may still
+    # name a projection_dim that has no weights
+    projection_dim = (int(cfg["projection_dim"])
+                      if with_projection and cfg.get("projection_dim") else None)
     return CLIPTextConfig(
         vocab_size=cfg.get("vocab_size", 49408),
         hidden_size=cfg.get("hidden_size", 768),
@@ -125,6 +146,8 @@ def _clip_config_from_df(cfg: dict) -> CLIPTextConfig:
         num_attention_heads=cfg.get("num_attention_heads", 12),
         max_position_embeddings=cfg.get("max_position_embeddings", 77),
         hidden_act=cfg.get("hidden_act", "quick_gelu"),
+        projection_dim=projection_dim,
+        eos_token_id=int(cfg.get("eos_token_id") or 49407),
     )
 
 
@@ -167,6 +190,15 @@ def load_diffusers_dir(path: Path, vae_override: Optional[str] = None) -> Loaded
     clip = load_state_dict(_find_weights_file(te_dir))
     clip.pop("text_model.embeddings.position_ids", None)
 
+    # SDXL: second text tower (OpenCLIP bigG as CLIPTextModelWithProjection)
+    clip2 = clip2_config = None
+    te2_dir = path / "text_encoder_2"
+    if te2_dir.is_dir():
+        clip2_config = _clip_config_from_df(_load_df_component_config(te2_dir),
+                                            with_projection=True)
+        clip2 = load_state_dict(_find_weights_file(te2_dir))
+        clip2.pop("text_model.embeddings.position_ids", None)
+
     sched_file = path / "scheduler" / "scheduler_config.json"
     schedule = (NoiseSchedule.from_diffusers_scheduler_config(json.loads(sched_file.read_text()))
                 if sched_file.exists() else NoiseSchedule())
@@ -174,7 +206,14 @@ def load_diffusers_dir(path: Path, vae_override: Optional[str] = None) -> Loaded
     _validate(unet, unet_param_shapes(unet_config), "unet")
     _validate(vae, vae_param_shapes(vae_config), "vae")
     _validate(clip, clip_param_shapes(clip_config), "text_encoder")
-    return LoadedModels(unet, unet_config, vae, vae_config, clip, clip_config, schedule)
+    if clip2 is not None:
+        _validate(clip2, clip_param_shapes(clip2_config), "text_encoder_2")
+    if unet_config.addition_embed_type == "text_time" and clip2 is None:
+        raise ValueError(
+            "SDXL UNet (addition_embed_type=text_time) requires a "
+            "text_encoder_2/ directory with the pooled-projection tower")
+    return LoadedModels(unet, unet_config, vae, vae_config, clip, clip_config,
+                        schedule, clip2=clip2, clip2_config=clip2_config)
 
 
 def load_ldm_checkpoint(path: Path, ldm_config: Optional[Config] = None,

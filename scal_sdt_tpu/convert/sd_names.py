@@ -55,6 +55,10 @@ def unet_prefix_map(config: UNetConfig) -> list[tuple[str, str]]:
         ("conv_norm_out.", "out.0."),
         ("conv_out.", "out.2."),
     ]
+    if config.addition_embed_type == "text_time":
+        # SDXL micro-conditioning MLP lives under label_emb in the LDM layout
+        pairs += [("add_embedding.linear_1.", "label_emb.0.0."),
+                  ("add_embedding.linear_2.", "label_emb.0.2.")]
     n_blocks = len(config.block_out_channels)
     lpb = config.layers_per_block
 

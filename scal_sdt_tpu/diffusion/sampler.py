@@ -39,6 +39,12 @@ class SamplerSpec:
     schedule: NoiseSchedule
     clip_stop_at_layer: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    # SDXL second text tower (pooled projection); None for SD1.x/2.x
+    clip2_config: Optional[CLIPTextConfig] = None
+
+    @property
+    def sdxl(self) -> bool:
+        return self.unet_config.addition_embed_type == "text_time"
 
 
 def _cfg_combine(pred_u, pred_c, cfg_scale: float, guidance_rescale: float):
@@ -82,7 +88,8 @@ def ddim_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.ndar
                         cfg_scale: float, height: int, width: int, batch: int,
                         init_latents: Optional[jnp.ndarray] = None,
                         t_start_index: int = 0,
-                        guidance_rescale: float = 0.0) -> jnp.ndarray:
+                        guidance_rescale: float = 0.0,
+                        added_cond: Optional[dict] = None) -> jnp.ndarray:
     """Run the DDIM loop, returns final latents (B, h/8, w/8, 4) unscaled.
 
     img2img: pass scaled ``init_latents`` + ``t_start_index`` (the index
@@ -110,7 +117,8 @@ def ddim_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.ndar
         prev_t = t - schedule.num_train_timesteps // num_steps
         pair = jnp.concatenate([x, x], axis=0)
         t_b = jnp.full((2 * batch,), t, jnp.int32)
-        pred = unet_apply(unet_params, pair, t_b, context, spec.unet_config)
+        pred = unet_apply(unet_params, pair, t_b, context, spec.unet_config,
+                          added_cond=added_cond)
         pred_u, pred_c = jnp.split(pred, 2, axis=0)
         pred = _cfg_combine(pred_u, pred_c, cfg_scale, guidance_rescale)
 
@@ -145,7 +153,8 @@ def euler_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.nda
                          ancestral: bool = False,
                          init_latents: Optional[jnp.ndarray] = None,
                          t_start_index: int = 0,
-                         guidance_rescale: float = 0.0) -> jnp.ndarray:
+                         guidance_rescale: float = 0.0,
+                         added_cond: Optional[dict] = None) -> jnp.ndarray:
     """Euler / Euler-ancestral (k-diffusion style on the discrete VP sigmas,
     diffusers EulerDiscreteScheduler semantics) — the WebUI ecosystem's
     default samplers, beyond reference parity. One lax.scan program.
@@ -182,7 +191,8 @@ def euler_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.nda
         x_in = (x / jnp.sqrt(sig ** 2 + 1.0)).astype(spec.dtype)
         pair = jnp.concatenate([x_in, x_in], axis=0)
         t_b = jnp.full((2 * batch,), t, jnp.int32)
-        pred = unet_apply(unet_params, pair, t_b, context, spec.unet_config)
+        pred = unet_apply(unet_params, pair, t_b, context, spec.unet_config,
+                          added_cond=added_cond)
         pred_u, pred_c = jnp.split(pred.astype(jnp.float32), 2, axis=0)
         pred = _cfg_combine(pred_u, pred_c, cfg_scale, guidance_rescale)
 
@@ -215,7 +225,8 @@ def dpmpp_2m_sample_latents(unet_params: Params, cond: jnp.ndarray,
                             batch: int,
                             init_latents: Optional[jnp.ndarray] = None,
                             t_start_index: int = 0,
-                            guidance_rescale: float = 0.0) -> jnp.ndarray:
+                            guidance_rescale: float = 0.0,
+                            added_cond: Optional[dict] = None) -> jnp.ndarray:
     """DPM-Solver++(2M) (arXiv:2211.01095; k-diffusion ``sample_dpmpp_2m``) —
     the WebUI ecosystem's favourite fast deterministic sampler (good quality
     at 15-25 steps). Second-order multistep on log-sigma: one UNet call per
@@ -246,7 +257,8 @@ def dpmpp_2m_sample_latents(unet_params: Params, cond: jnp.ndarray,
         x_in = (x / jnp.sqrt(sig ** 2 + 1.0)).astype(spec.dtype)
         pair = jnp.concatenate([x_in, x_in], axis=0)
         t_b = jnp.full((2 * batch,), t, jnp.int32)
-        pred = unet_apply(unet_params, pair, t_b, context, spec.unet_config)
+        pred = unet_apply(unet_params, pair, t_b, context, spec.unet_config,
+                          added_cond=added_cond)
         pred_u, pred_c = jnp.split(pred.astype(jnp.float32), 2, axis=0)
         pred = _cfg_combine(pred_u, pred_c, cfg_scale, guidance_rescale)
         denoised = _denoised_from_pred(x, sig, pred, schedule.prediction_type)
@@ -287,12 +299,18 @@ def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
                   method: str = "ddim",
                   init_image: Optional[np.ndarray] = None,
                   strength: float = 0.75,
-                  guidance_rescale: float = 0.0) -> np.ndarray:
+                  guidance_rescale: float = 0.0,
+                  clip2_params: Optional[Params] = None) -> np.ndarray:
     """Full text->image path. Returns uint8 (B, H, W, 3).
 
     img2img: ``init_image`` is (H, W, 3) or (B, H, W, 3) float in [-1, 1];
     ``strength`` in (0, 1] controls how much of the denoising ladder runs
     (1.0 = ignore the init entirely, like diffusers Img2ImgPipeline).
+
+    SDXL: pass ``clip2_params`` (the pooled-projection tower). Conditioning
+    follows diffusers' SDXL encode_prompt: concat of both towers' raw
+    penultimate hidden states, pooled embeds from tower 2, size ids at the
+    target resolution with zero crop offsets.
     """
     if rng is None:
         rng = jax.random.PRNGKey(0 if seed is None else seed)
@@ -303,8 +321,39 @@ def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
     cast = lambda p: {k: v.astype(spec.dtype) if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else jnp.asarray(v)
                       for k, v in p.items()}
     clip_c = cast(clip_params)
-    cond = clip_text_apply(clip_c, ids, spec.clip_config, spec.clip_stop_at_layer)
-    uncond = clip_text_apply(clip_c, neg_ids, spec.clip_config, spec.clip_stop_at_layer)
+    added_cond = None
+    if spec.sdxl:
+        if clip2_params is None:
+            raise ValueError("SDXL sampling requires clip2_params "
+                             "(the text_encoder_2 tower)")
+        from ..models.clip import clip_text_encode_sdxl
+
+        clip2_c = cast(clip2_params)
+        eos = spec.clip_config.eos_token_id
+
+        def encode(ids_):
+            penult1, _ = clip_text_encode_sdxl(clip_c, ids_, spec.clip_config)
+            first_eos = jnp.argmax((ids_ == eos).astype(jnp.int32), axis=-1,
+                                   keepdims=True)
+            pos = jnp.arange(ids_.shape[1])[None, :]
+            ids2 = jnp.where(pos > first_eos, 0, ids_)
+            penult2, pooled = clip_text_encode_sdxl(clip2_c, ids2,
+                                                    spec.clip2_config)
+            return jnp.concatenate([penult1, penult2], axis=-1), pooled
+
+        cond, pooled_c = encode(ids)
+        uncond, pooled_u = encode(neg_ids)
+        time_ids = jnp.tile(
+            jnp.asarray([height, width, 0, 0, height, width], jnp.float32),
+            (2 * batch, 1))
+        added_cond = {
+            "text_embeds": jnp.concatenate([pooled_u, pooled_c],
+                                           axis=0).astype(spec.dtype),
+            "time_ids": time_ids,
+        }
+    else:
+        cond = clip_text_apply(clip_c, ids, spec.clip_config, spec.clip_stop_at_layer)
+        uncond = clip_text_apply(clip_c, neg_ids, spec.clip_config, spec.clip_stop_at_layer)
 
     init_latents, t_start = None, 0
     if init_image is not None:
@@ -326,21 +375,24 @@ def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
                                       steps, float(cfg_scale), height, width, batch,
                                       init_latents=init_latents,
                                       t_start_index=t_start,
-                                      guidance_rescale=float(guidance_rescale))
+                                      guidance_rescale=float(guidance_rescale),
+                                      added_cond=added_cond)
     elif method in ("euler", "euler_a"):
         latents = euler_sample_latents(cast(unet_params), cond, uncond, rng, spec,
                                        steps, float(cfg_scale), height, width,
                                        batch, ancestral=method == "euler_a",
                                        init_latents=init_latents,
                                        t_start_index=t_start,
-                                       guidance_rescale=float(guidance_rescale))
+                                       guidance_rescale=float(guidance_rescale),
+                                      added_cond=added_cond)
     elif method == "dpmpp_2m":
         latents = dpmpp_2m_sample_latents(cast(unet_params), cond, uncond, rng,
                                           spec, steps, float(cfg_scale), height,
                                           width, batch,
                                           init_latents=init_latents,
                                           t_start_index=t_start,
-                                          guidance_rescale=float(guidance_rescale))
+                                          guidance_rescale=float(guidance_rescale),
+                                      added_cond=added_cond)
     else:
         raise ValueError(f"Unknown sampler method {method!r}; "
                          f"choose from {SAMPLER_METHODS}")

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..diffusion.sampler import SamplerSpec, sample_images
 from ..models.functional import sub_params
-from .step import TE_PREFIX, UNET_PREFIX, VAE_PREFIX
+from .step import TE2_PREFIX, TE_PREFIX, UNET_PREFIX, VAE_PREFIX
 
 logger = logging.getLogger("sampling")
 
@@ -39,6 +39,8 @@ class SampleCallback:
         unet_params = sub_params(merged, UNET_PREFIX)
         vae_params = sub_params(merged, VAE_PREFIX)
         clip_params = sub_params(merged, TE_PREFIX)
+        clip2_params = (sub_params(merged, TE2_PREFIX)
+                        if trainer.models.clip2 is not None else None)
 
         spec = SamplerSpec(
             unet_config=trainer.models.unet_config,
@@ -46,6 +48,7 @@ class SampleCallback:
             clip_config=trainer.models.clip_config,
             schedule=trainer.models.schedule,
             clip_stop_at_layer=int(trainer.config.get("clip_stop_at_layer", 1)),
+            clip2_config=trainer.models.clip2_config,
         )
 
         save_dir = self.sample_dir / str(global_step)
@@ -73,6 +76,7 @@ class SampleCallback:
                     guidance_rescale=float(concept.get(
                         "guidance_rescale",
                         sampling.get("guidance_rescale", 0.0))),
+                    clip2_params=clip2_params,
                 )
                 images.extend(out)
                 remaining -= n

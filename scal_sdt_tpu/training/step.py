@@ -23,7 +23,7 @@ import optax
 
 from ..conf import Config
 from ..diffusion.schedule import NoiseSchedule
-from ..models.clip import CLIPTextConfig, clip_text_apply
+from ..models.clip import CLIPTextConfig, clip_text_apply, clip_text_encode_sdxl
 from ..models.functional import LORA_DROPOUT_RNG, Params
 from ..models.unet import UNetConfig, unet_apply
 from ..models.vae import VAEConfig, encoder_apply, sample_latents
@@ -33,6 +33,7 @@ from .ema import EMAState, ema_init, ema_update
 # layout (modules/model.py:378-391) so every ckpt tool is format-compatible.
 UNET_PREFIX = "unet"
 TE_PREFIX = "condition_model.encoder"
+TE2_PREFIX = "condition_model.encoder_2"   # SDXL pooled-projection tower
 VAE_PREFIX = "vae"
 
 
@@ -71,12 +72,21 @@ class StepSpec:
     # low-frequency noise octaves, discount^i each, then renormalize
     multires_noise_iterations: int = 0
     multires_noise_discount: float = 0.25
+    # SDXL dual-encoder config (None for SD1.x/2.x). The conditioning is
+    # concat(penult_1, penult_2) with pooled projected embeds + size ids
+    # through the UNet's text_time addition embedding.
+    clip2_config: Optional[CLIPTextConfig] = None
+
+    @property
+    def sdxl(self) -> bool:
+        return self.unet_config.addition_embed_type == "text_time"
 
     @classmethod
     def from_config(cls, config: Config, unet_config: UNetConfig,
                     clip_config: CLIPTextConfig, vae_config: VAEConfig,
                     train_text_encoder: bool,
-                    schedule: Optional[NoiseSchedule] = None) -> "StepSpec":
+                    schedule: Optional[NoiseSchedule] = None,
+                    clip2_config: Optional[CLIPTextConfig] = None) -> "StepSpec":
         precision = config.trainer.get("precision", "bf16")
         compute = jnp.float32 if str(precision) == "32" else jnp.bfloat16
         return cls(
@@ -110,6 +120,7 @@ class StepSpec:
             multires_noise_discount=float(
                 (config.get("loss") or {}).get("multires_noise_discount")
                 or 0.25),
+            clip2_config=clip2_config,
         )
 
 
@@ -168,8 +179,44 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
         latents = sample_latents(moments, rng_latent, spec.vae_config.scaling_factor)
 
     # --- conditioning ------------------------------------------------------
+    added_cond = None
     if "conds" in batch:
         conds = batch["conds"].astype(dt)
+    elif spec.sdxl:
+        # SDXL dual-encoder conditioning (diffusers SDXL encode_prompt):
+        # both towers' raw penultimate hidden states concatenated on the
+        # feature axis; pooled projected embedding from tower 2; size/crop
+        # ids through the UNet's text_time embedding. v1 uses the batch's
+        # target size with zero crop offsets as the micro-conditioning.
+        te_params = _merged_component(trainable, frozen, TE_PREFIX, dt)
+        te_params[LORA_DROPOUT_RNG] = rng_lora
+        te2_params = _merged_component(trainable, frozen, TE2_PREFIX, dt)
+        input_ids = batch["input_ids"]
+        if spec.uncond_enabled and spec.uncond_mode == "eos":
+            uncond_ids = jnp.broadcast_to(batch["uncond_ids"], input_ids.shape)
+            drop = jax.random.uniform(rng_uncond) < spec.uncond_p
+            input_ids = jnp.where(drop, uncond_ids, input_ids)
+        penult1, _ = clip_text_encode_sdxl(te_params, input_ids, spec.clip_config)
+        # tokenizer_2 pads with 0 after the first EOS (tokenizer 1 pads
+        # with EOS); reproduce that for the second tower
+        eos = spec.clip_config.eos_token_id
+        first_eos = jnp.argmax((input_ids == eos).astype(jnp.int32), axis=-1,
+                               keepdims=True)
+        pos = jnp.arange(input_ids.shape[1])[None, :]
+        ids2 = jnp.where(pos > first_eos, 0, input_ids)
+        penult2, pooled = clip_text_encode_sdxl(te2_params, ids2,
+                                                spec.clip2_config)
+        conds = jnp.concatenate([penult1, penult2], axis=-1).astype(dt)
+        if spec.uncond_enabled and spec.uncond_mode == "zeros":
+            drop = jax.random.uniform(rng_uncond) < spec.uncond_p
+            conds = jnp.where(drop, jnp.zeros_like(conds), conds)
+            pooled = jnp.where(drop, jnp.zeros_like(pooled), pooled)
+        f = 2 ** (len(spec.vae_config.block_out_channels) - 1)
+        h_img, w_img = latents.shape[1] * f, latents.shape[2] * f
+        time_ids = jnp.tile(
+            jnp.asarray([h_img, w_img, 0, 0, h_img, w_img], jnp.float32),
+            (latents.shape[0], 1))
+        added_cond = {"text_embeds": pooled.astype(dt), "time_ids": time_ids}
     else:
         te_params = _merged_component(trainable, frozen, TE_PREFIX, dt)
         te_params[LORA_DROPOUT_RNG] = rng_lora
@@ -204,7 +251,7 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
     unet_params = _merged_component(trainable, frozen, UNET_PREFIX, dt)
     unet_params[LORA_DROPOUT_RNG] = rng_lora
     pred = unet_apply(unet_params, noisy, timesteps, conds, spec.unet_config,
-                      remat=spec.remat)
+                      remat=spec.remat, added_cond=added_cond)
 
     target = spec.schedule.training_target(latents, noise, timesteps)
     per_elem = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))

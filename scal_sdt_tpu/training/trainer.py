@@ -156,6 +156,16 @@ class Trainer:
         all_params.update(_prefixed(component_params["unet"], UNET_PREFIX))
         all_params.update(_prefixed(component_params["text_encoder"], TE_PREFIX))
         all_params.update(_prefixed(dict(models.vae), VAE_PREFIX))
+        if models.clip2 is not None:
+            # SDXL tower 2 is frozen in v1 (no optim-target paths address it)
+            from .step import TE2_PREFIX
+
+            all_params.update(_prefixed(dict(models.clip2), TE2_PREFIX))
+        if models.is_sdxl and config.data.get("cache"):
+            raise ValueError(
+                "SDXL training from a condition cache is not supported yet: "
+                "the cache stores sequence conds without the pooled "
+                "embedding (use live text encoding)")
         for k, v in all_params.items():
             arr = np.asarray(v)
             if np.issubdtype(arr.dtype, np.floating) or str(arr.dtype) == "bfloat16":
@@ -230,7 +240,8 @@ class Trainer:
         # -- step -----------------------------------------------------------
         self.spec = StepSpec.from_config(
             config, models.unet_config, models.clip_config, models.vae_config,
-            self.train_text_encoder, schedule=models.schedule)
+            self.train_text_encoder, schedule=models.schedule,
+            clip2_config=models.clip2_config)
         ema_enabled = bool(config.ema.get("enabled", False))
         self.train_step = make_train_step(
             self.spec, self.tx, self.lr_fn, ema_enabled,

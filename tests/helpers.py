@@ -36,6 +36,37 @@ def tiny_models(seed: int = 0, vocab_size: int = 49408) -> LoadedModels:
     )
 
 
+def tiny_sdxl_models(seed: int = 0, vocab_size: int = 49408) -> LoadedModels:
+    """SDXL-shaped tiny pair: text_time UNet + two text towers (tower 2
+    with a pooled projection head matching the UNet's text_embeds width)."""
+    import jax
+
+    unet_config = UNetConfig.tiny_sdxl()
+    vae_config = VAEConfig.tiny()
+    # concat(penult1, penult2) must equal cross_attention_dim (64): 32 + 32
+    clip_config = CLIPTextConfig(
+        vocab_size=vocab_size, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, max_position_embeddings=77)
+    clip2_config = CLIPTextConfig(
+        vocab_size=vocab_size, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, max_position_embeddings=77,
+        hidden_act="gelu", projection_dim=32)
+    rng = jax.random.PRNGKey(seed)
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+    to_np = lambda d: {k: np.asarray(v) for k, v in d.items()}
+    return LoadedModels(
+        unet=to_np(init_unet_params(r1, unet_config)),
+        unet_config=unet_config,
+        vae=to_np(init_vae_params(r2, vae_config)),
+        vae_config=vae_config,
+        clip=to_np(init_clip_params(r3, clip_config)),
+        clip_config=clip_config,
+        schedule=NoiseSchedule(),
+        clip2=to_np(init_clip_params(r4, clip2_config)),
+        clip2_config=clip2_config,
+    )
+
+
 def write_diffusers_dir(models: LoadedModels, path: Path,
                         scheduler_overrides: dict | None = None) -> Path:
     """Write LoadedModels out as a diffusers-layout directory, so tests can
@@ -58,6 +89,16 @@ def write_diffusers_dir(models: LoadedModels, path: Path,
             "up_block_types": list(u.up_block_types),
             "norm_num_groups": u.norm_num_groups,
             "sample_size": u.sample_size,
+            **({"transformer_layers_per_block":
+                    list(u.transformer_layers_per_block)
+                    if isinstance(u.transformer_layers_per_block, (list, tuple))
+                    else u.transformer_layers_per_block,
+                "use_linear_projection": u.use_linear_projection,
+                "addition_embed_type": u.addition_embed_type,
+                "addition_time_embed_dim": u.addition_time_embed_dim,
+                "projection_class_embeddings_input_dim":
+                    u.projection_class_embeddings_input_dim}
+               if u.addition_embed_type else {}),
         }),
         "vae": (models.vae, {
             "in_channels": v.in_channels, "out_channels": v.out_channels,
@@ -75,6 +116,18 @@ def write_diffusers_dir(models: LoadedModels, path: Path,
             "max_position_embeddings": c.max_position_embeddings,
         }),
     }
+    if models.clip2 is not None:
+        c2 = models.clip2_config
+        spec["text_encoder_2"] = (models.clip2, {
+            "vocab_size": c2.vocab_size, "hidden_size": c2.hidden_size,
+            "intermediate_size": c2.intermediate_size,
+            "num_hidden_layers": c2.num_hidden_layers,
+            "num_attention_heads": c2.num_attention_heads,
+            "max_position_embeddings": c2.max_position_embeddings,
+            "hidden_act": c2.hidden_act,
+            "projection_dim": c2.projection_dim,
+            "eos_token_id": c2.eos_token_id,
+        })
     for comp, (state, cfg) in spec.items():
         d = path / comp
         d.mkdir(parents=True, exist_ok=True)

@@ -139,3 +139,75 @@ def test_sdxl_g_config_is_bigg():
     cfg = CLIPTextConfig.sdxl_g()
     assert cfg.hidden_size == 1280 and cfg.num_hidden_layers == 32
     assert cfg.projection_dim == 1280 and cfg.hidden_act == "gelu"
+
+
+# ---------------------------------------------------------------------------
+# Loader + end-to-end training
+# ---------------------------------------------------------------------------
+
+def test_sdxl_diffusers_dir_round_trip(tmp_path):
+    from scal_sdt_tpu.conf import Config, default, merge
+    from scal_sdt_tpu.convert.loader import load_components
+    from helpers import tiny_sdxl_models, write_diffusers_dir
+
+    models = tiny_sdxl_models()
+    model_dir = write_diffusers_dir(models, tmp_path / "tiny-sdxl")
+    cfg = merge(default(), Config({"model": str(model_dir)}))
+    loaded = load_components(cfg)
+    assert loaded.is_sdxl
+    assert loaded.clip2 is not None
+    assert loaded.clip2_config.projection_dim == 32
+    assert loaded.unet_config.transformer_layers_per_block == (1, 2)
+    assert "text_projection.weight" in loaded.clip2
+
+
+def test_sdxl_training_end_to_end(tmp_path):
+    from scal_sdt_tpu.text.tokenizer import HashTokenizer
+    from scal_sdt_tpu.training.trainer import Trainer
+    from helpers import make_image_dataset, tiny_config, tiny_sdxl_models
+
+    data = make_image_dataset(tmp_path, n=4)
+    cfg = tiny_config(data, tmp_path / "out")
+    trainer = Trainer(cfg, tmp_path / "out" / "run",
+                      models=tiny_sdxl_models(), tokenizer=HashTokenizer())
+    metrics = trainer.fit(max_steps_override=2)
+    assert np.isfinite(float(metrics["train_loss"]))
+    # tower 2 stays frozen under the full_unet target
+    assert not any(k.startswith("condition_model.encoder_2.")
+                   for k in trainer.state.trainable)
+    assert any(k.startswith("condition_model.encoder_2.")
+               for k in trainer.frozen)
+
+
+def test_sdxl_cache_config_rejected(tmp_path):
+    from scal_sdt_tpu.text.tokenizer import HashTokenizer
+    from scal_sdt_tpu.training.trainer import Trainer
+    from helpers import make_image_dataset, tiny_config, tiny_sdxl_models
+
+    data = make_image_dataset(tmp_path, n=4)
+    cfg = tiny_config(data, tmp_path / "out")
+    cfg.data.cache = str(tmp_path / "cache.safetensors")
+    with pytest.raises(ValueError, match="SDXL"):
+        Trainer(cfg, tmp_path / "out" / "run",
+                models=tiny_sdxl_models(), tokenizer=HashTokenizer())
+
+
+def test_sdxl_sample_images_end_to_end():
+    from scal_sdt_tpu.diffusion.sampler import SamplerSpec, sample_images
+    from scal_sdt_tpu.text.tokenizer import HashTokenizer
+    from helpers import tiny_sdxl_models
+
+    m = tiny_sdxl_models()
+    spec = SamplerSpec(unet_config=m.unet_config, vae_config=m.vae_config,
+                       clip_config=m.clip_config, schedule=m.schedule,
+                       dtype=jnp.float32, clip2_config=m.clip2_config)
+    out = sample_images(m.unet, m.vae, m.clip, HashTokenizer(),
+                        ["a test prompt"], "", spec, steps=3, cfg_scale=5.0,
+                        width=32, height=32, seed=3, method="dpmpp_2m",
+                        clip2_params=m.clip2)
+    assert out.shape == (1, 32, 32, 3) and out.dtype == np.uint8
+
+    with pytest.raises(ValueError, match="clip2_params"):
+        sample_images(m.unet, m.vae, m.clip, HashTokenizer(),
+                      ["a test prompt"], "", spec, steps=1, width=32,
+                      height=32)
