@@ -81,10 +81,15 @@ def main():
                    "dir, transformers dir, or weights file) used when the "
                    "checkpoint has no TE weights. Defaults to the local "
                    "transformers cache of openai/clip-vit-large-patch14.")
+@click.option("--arch", type=click.Choice(["auto", "sd1", "sdxl"]),
+              default="auto", show_default=True,
+              help="UNet architecture for the LDM name bijection. 'auto' "
+                   "detects SDXL from add_embedding / deep mid-block keys; "
+                   "pass explicitly for partial (e.g. KV-only) checkpoints.")
 def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
           text_encoder_dtype: str, vae: Optional[Path], df_vae: Optional[str],
           vae_dtype: str, overwrite: bool, fmt: Optional[str], ema: bool,
-          pristine_te: Optional[str]):
+          pristine_te: Optional[str], arch: str):
     """Convert a training checkpoint for CompVis/StabilityAI LDM codebases."""
     check_overwrite(output, overwrite)
     assert not (vae and df_vae), "Only one of --vae / --df-vae may be given"
@@ -100,7 +105,14 @@ def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
     else:
         unet_state = replace_prefix(state, UNET_CKPT_PREFIX)
     unet_state = {k: v for k, v in unet_state.items() if ".lora_" not in k}
-    unet_state = convert_unet_state_df_to_ldm(unet_state)
+    if arch == "auto":
+        arch = "sdxl" if any(
+            k.startswith("add_embedding.")
+            or k.startswith("mid_block.attentions.0.transformer_blocks.1.")
+            for k in unet_state) else "sd1"
+    unet_state = convert_unet_state_df_to_ldm(
+        unet_state,
+        UNetConfig.sdxl() if arch == "sdxl" else UNetConfig.sd15())
     unet_state = replace_prefix(unet_state, "", "model.diffusion_model.")
     ldm_state.update(cast_type(unet_state, unet_dtype))
 

@@ -151,9 +151,10 @@ def _clip_config_from_df(cfg: dict,
     )
 
 
-def _clip_config_from_state(clip: dict) -> CLIPTextConfig:
+def _clip_config_from_state(clip: dict,
+                            hidden_act: str = "gelu") -> CLIPTextConfig:
     """Infer the text-encoder config from a converted transformers-layout
-    state dict (used for SD2.x single-file loads, where no config.json
+    state dict (used for SD2.x/SDXL single-file loads, where no config.json
     exists). Head count follows the OpenCLIP width//64 convention."""
     tok = clip["text_model.embeddings.token_embedding.weight"]
     pos = clip["text_model.embeddings.position_embedding.weight"]
@@ -166,7 +167,7 @@ def _clip_config_from_state(clip: dict) -> CLIPTextConfig:
         vocab_size=int(tok.shape[0]), hidden_size=d,
         intermediate_size=int(fc1.shape[0]), num_hidden_layers=layers,
         num_attention_heads=max(d // 64, 1),
-        max_position_embeddings=int(pos.shape[0]), hidden_act="gelu")
+        max_position_embeddings=int(pos.shape[0]), hidden_act=hidden_act)
 
 
 def load_diffusers_dir(path: Path, vae_override: Optional[str] = None) -> LoadedModels:
@@ -216,11 +217,69 @@ def load_diffusers_dir(path: Path, vae_override: Optional[str] = None) -> Loaded
                         schedule, clip2=clip2, clip2_config=clip2_config)
 
 
+def _load_sdxl_single_file(state: dict,
+                           ldm_config: Optional[Config] = None,
+                           vae_path: Optional[str] = None) -> LoadedModels:
+    """WebUI-style SDXL single-file checkpoint (sgm namespace): UNet under
+    ``model.diffusion_model.*`` (SDXL-base architecture), text towers under
+    ``conditioner.embedders.0.transformer.*`` (CLIP-L, transformers layout)
+    and ``conditioner.embedders.1.model.*`` (OpenCLIP bigG with
+    text_projection). Beyond-reference capability (the reference is SD1.x
+    only, /root/reference/modules/convert/sd_to_diffusers.py:583-586)."""
+    has_sgm_yaml = (ldm_config is not None
+                    and "network_config" in ldm_config.model.params)
+    unet_config = (UNetConfig.from_sgm_config(ldm_config) if has_sgm_yaml
+                   else UNetConfig.sdxl())
+    unet = convert_unet_state_ldm_to_df(
+        replace_prefix(state, "model.diffusion_model."), unet_config)
+
+    vae_config = dataclasses.replace(
+        VAEConfig.from_ldm_config(ldm_config) if has_sgm_yaml
+        else VAEConfig.sd15(),
+        scaling_factor=0.13025)
+    if vae_path is not None:
+        vae_state = load_state_dict(Path(vae_path))
+        vae_ldm = replace_prefix(vae_state, "first_stage_model.") or vae_state
+    else:
+        vae_ldm = replace_prefix(state, "first_stage_model.")
+    vae = convert_vae_state_ldm_to_df(vae_ldm, vae_config)
+
+    clip = replace_prefix(state, "conditioner.embedders.0.transformer.")
+    clip.pop("text_model.embeddings.position_ids", None)
+    # real SDXL ships the standard CLIP-L here; infer (quick_gelu family)
+    # only when the tower deviates from ViT-L shapes
+    clip_config = CLIPTextConfig.vit_l()
+    if ("text_model.encoder.layers."
+            f"{clip_config.num_hidden_layers - 1}.layer_norm1.weight") not in clip:
+        clip_config = _clip_config_from_state(clip, hidden_act="quick_gelu")
+
+    clip2 = convert_openclip_text_to_transformers(
+        replace_prefix(state, "conditioner.embedders.1.model."),
+        keep_projection=True)
+    proj = clip2.get("text_projection.weight")
+    if proj is None:
+        raise ValueError("SDXL single-file checkpoint is missing the tower-2 "
+                         "text_projection")
+    clip2_config = dataclasses.replace(
+        _clip_config_from_state(clip2), projection_dim=int(proj.shape[0]))
+
+    schedule = NoiseSchedule()  # SDXL-base trains the SD default schedule
+
+    _validate(unet, unet_param_shapes(unet_config), "unet")
+    _validate(vae, vae_param_shapes(vae_config), "vae")
+    _validate(clip, clip_param_shapes(clip_config), "text_encoder")
+    _validate(clip2, clip_param_shapes(clip2_config), "text_encoder_2")
+    return LoadedModels(unet, unet_config, vae, vae_config, clip, clip_config,
+                        schedule, clip2=clip2, clip2_config=clip2_config)
+
+
 def load_ldm_checkpoint(path: Path, ldm_config: Optional[Config] = None,
                         vae_path: Optional[str] = None) -> LoadedModels:
     """Original-LDM single-file checkpoint (reference modules/model.py:96-123)."""
-    ldm_config = ldm_config if ldm_config is not None else get_ldm_config(None)
     state = load_state_dict(Path(path))
+    if any(k.startswith("conditioner.embedders.1.model.") for k in state):
+        return _load_sdxl_single_file(state, ldm_config, vae_path)
+    ldm_config = ldm_config if ldm_config is not None else get_ldm_config(None)
 
     unet_config = UNetConfig.from_ldm_config(ldm_config)
     unet_ldm = replace_prefix(state, "model.diffusion_model.")

@@ -303,7 +303,8 @@ def normalize_df_vae_attention(state: dict) -> dict:
     return out
 
 
-def convert_openclip_text_to_transformers(state: dict) -> dict:
+def convert_openclip_text_to_transformers(state: dict,
+                                          keep_projection: bool = False) -> dict:
     """OpenCLIP text-tower state (SD2.x single-file ``cond_stage_model.model.*``,
     already prefix-stripped) -> transformers ``CLIPTextModel`` layout.
 
@@ -370,8 +371,13 @@ def convert_openclip_text_to_transformers(state: dict) -> dict:
         if src in state:
             out[dst] = state[src]
             consumed.add(src)
-    # text_projection / logit_scale are CLIP-contrastive heads the text
-    # encoder never uses; drop them knowingly.
+    # text_projection: the SD2 encoder never uses it (drop knowingly), but
+    # SDXL's tower 2 projects the pooled EOS state through it. OpenCLIP
+    # stores the matrix for x @ proj (d, proj_dim); transformers' Linear
+    # weight layout is its transpose.
+    if keep_projection and "text_projection" in state:
+        out["text_projection.weight"] = np.ascontiguousarray(
+            np.asarray(state["text_projection"]).T)
     consumed.update(k for k in ("text_projection", "logit_scale") if k in state)
 
     leftover = [k for k in state if k not in consumed]

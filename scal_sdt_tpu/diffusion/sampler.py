@@ -326,17 +326,15 @@ def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
         if clip2_params is None:
             raise ValueError("SDXL sampling requires clip2_params "
                              "(the text_encoder_2 tower)")
-        from ..models.clip import clip_text_encode_sdxl
+        from ..models.clip import clip_text_encode_sdxl, eos_positions
 
         clip2_c = cast(clip2_params)
-        eos = spec.clip_config.eos_token_id
 
         def encode(ids_):
             penult1, _ = clip_text_encode_sdxl(clip_c, ids_, spec.clip_config)
-            first_eos = jnp.argmax((ids_ == eos).astype(jnp.int32), axis=-1,
-                                   keepdims=True)
+            first_eos = eos_positions(ids_, spec.clip_config.eos_token_id)
             pos = jnp.arange(ids_.shape[1])[None, :]
-            ids2 = jnp.where(pos > first_eos, 0, ids_)
+            ids2 = jnp.where(pos > first_eos[:, None], 0, ids_)
             penult2, pooled = clip_text_encode_sdxl(clip2_c, ids2,
                                                     spec.clip2_config)
             return jnp.concatenate([penult1, penult2], axis=-1), pooled

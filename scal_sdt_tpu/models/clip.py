@@ -129,19 +129,25 @@ def clip_text_encode_sdxl(params: Params, input_ids: jnp.ndarray,
 
     pooled = None
     if config.projection_dim is not None:
-        # transformers parity quirk (modeling_clip.py): with the legacy
-        # eos_token_id == 2 configs the pooled position is argmax(input_ids)
-        # (highest token id); otherwise the first EOS occurrence. For the
-        # real CLIP vocab (eos 49407 = max id) the two coincide.
-        if config.eos_token_id == 2:
-            eos = jnp.argmax(input_ids, axis=-1)
-        else:
-            eos = jnp.argmax((input_ids == config.eos_token_id).astype(jnp.int32),
-                             axis=-1)
+        eos = eos_positions(input_ids, config.eos_token_id)
         gathered = x[jnp.arange(x.shape[0]), eos]
         w = params["text_projection.weight"]
         pooled = gathered @ w.astype(gathered.dtype).T
     return penult, pooled
+
+
+def eos_positions(input_ids: jnp.ndarray, eos_token_id: int) -> jnp.ndarray:
+    """Per-row EOS position, (B,) int.
+
+    transformers parity quirk (modeling_clip.py): CLIP configs shipped with
+    the legacy ``eos_token_id: 2`` use argmax(input_ids) (the highest token
+    id — correct in practice because the real EOS 49407 IS the max id);
+    otherwise the first true-EOS occurrence. argmax returns the FIRST
+    maximal position, so eos-padded rows resolve to the first EOS either
+    way."""
+    if eos_token_id == 2:
+        return jnp.argmax(input_ids, axis=-1)
+    return jnp.argmax((input_ids == eos_token_id).astype(jnp.int32), axis=-1)
 
 
 def clip_param_shapes(config: CLIPTextConfig) -> dict[str, tuple[int, ...]]:

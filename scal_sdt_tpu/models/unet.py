@@ -149,6 +149,47 @@ class UNetConfig:
         )
 
     @classmethod
+    def from_sgm_config(cls, ldm_config) -> "UNetConfig":
+        """SDXL sgm-namespace architecture yaml (``network_config`` instead
+        of ``unet_config``; per-level ``transformer_depth``; text_time
+        micro-conditioning via ``adm_in_channels`` + sequential classes)."""
+        u = ldm_config.model.params.network_config.params
+        ch = int(u.model_channels)
+        mult = list(u.channel_mult)
+        block_out = tuple(ch * m for m in mult)
+        attn_ds = {int(a) for a in u.attention_resolutions}
+        has_attn = [2 ** i in attn_ds for i in range(len(mult))]
+        down = tuple("CrossAttnDownBlock2D" if a else "DownBlock2D"
+                     for a in has_attn)
+        up = tuple("CrossAttnUpBlock2D" if a else "UpBlock2D"
+                   for a in reversed(has_attn))
+        depth = u.get("transformer_depth", 1)
+        depth = tuple(int(d) for d in depth) if isinstance(depth, (list, tuple)) \
+            else int(depth)
+        heads = tuple(c // int(u.num_head_channels) for c in block_out) \
+            if "num_head_channels" in u else int(u.get("num_heads", 8))
+        text_time = (str(u.get("num_classes", "")) == "sequential"
+                     and u.get("adm_in_channels"))
+        return cls(
+            in_channels=int(u.in_channels),
+            out_channels=int(u.out_channels),
+            block_out_channels=block_out,
+            layers_per_block=int(u.num_res_blocks),
+            num_attention_heads=heads,
+            use_linear_projection=bool(u.get("use_linear_in_transformer", False)),
+            cross_attention_dim=int(u.context_dim),
+            transformer_layers_per_block=depth,
+            down_block_types=down,
+            up_block_types=up,
+            addition_embed_type="text_time" if text_time else None,
+            projection_class_embeddings_input_dim=(
+                int(u.adm_in_channels) if text_time else None),
+            # fixed values in real SD UNets; our extensions for tiny fixtures
+            addition_time_embed_dim=int(u.get("addition_time_embed_dim", 256)),
+            norm_num_groups=int(u.get("num_groups", 32)),
+        )
+
+    @classmethod
     def from_ldm_config(cls, ldm_config) -> "UNetConfig":
         """Derive shapes from a CompVis LDM architecture YAML
         (reference: modules/convert/sd_to_diffusers.py:175-209)."""

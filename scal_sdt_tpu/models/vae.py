@@ -48,6 +48,9 @@ class VAEConfig:
             latent_channels=int(dd.z_channels),
             block_out_channels=tuple(ch * m for m in dd.ch_mult),
             layers_per_block=int(dd.num_res_blocks),
+            # LDM VAEs are always GroupNorm(32); num_groups is our extension
+            # so miniature test fixtures can round-trip through LDM yamls
+            norm_num_groups=int(dd.get("num_groups", 32)),
         )
 
 

@@ -199,11 +199,11 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
         penult1, _ = clip_text_encode_sdxl(te_params, input_ids, spec.clip_config)
         # tokenizer_2 pads with 0 after the first EOS (tokenizer 1 pads
         # with EOS); reproduce that for the second tower
-        eos = spec.clip_config.eos_token_id
-        first_eos = jnp.argmax((input_ids == eos).astype(jnp.int32), axis=-1,
-                               keepdims=True)
+        from ..models.clip import eos_positions
+
+        first_eos = eos_positions(input_ids, spec.clip_config.eos_token_id)
         pos = jnp.arange(input_ids.shape[1])[None, :]
-        ids2 = jnp.where(pos > first_eos, 0, input_ids)
+        ids2 = jnp.where(pos > first_eos[:, None], 0, input_ids)
         penult2, pooled = clip_text_encode_sdxl(te2_params, ids2,
                                                 spec.clip2_config)
         conds = jnp.concatenate([penult1, penult2], axis=-1).astype(dt)

@@ -211,3 +211,156 @@ def test_sdxl_sample_images_end_to_end():
         sample_images(m.unet, m.vae, m.clip, HashTokenizer(),
                       ["a test prompt"], "", spec, steps=1, width=32,
                       height=32)
+
+
+def test_sdxl_lora_training_end_to_end(tmp_path):
+    """The kohya-favourite mode: LoRA on the SDXL UNet attention/ff paths
+    through the same optim-target engine as SD1.x."""
+    from scal_sdt_tpu.text.tokenizer import HashTokenizer
+    from scal_sdt_tpu.training.trainer import Trainer
+    from helpers import make_image_dataset, tiny_config, tiny_sdxl_models
+
+    data = make_image_dataset(tmp_path, n=4)
+    cfg = tiny_config(data, tmp_path / "out")
+    cfg.optim_target = "lora_no-te"
+    trainer = Trainer(cfg, tmp_path / "out" / "run",
+                      models=tiny_sdxl_models(), tokenizer=HashTokenizer())
+    metrics = trainer.fit(max_steps_override=2)
+    assert np.isfinite(float(metrics["train_loss"]))
+    # only LoRA factors train; base UNet + both towers stay frozen
+    # (slab packing renames trainable leaves -> resolve via the pack spec)
+    keys = {k for k in trainer.state.trainable
+            if "__slab__" not in k and "__stack__" not in k}
+    if trainer.pack_spec is not None:
+        keys |= trainer.pack_spec.packed_keys
+    assert keys and all(".lora_" in k or k.endswith("alpha") for k in keys), \
+        sorted(keys)[:5]
+
+
+def _to_openclip_layout(clip2: dict) -> dict:
+    """Inverse of convert_openclip_text_to_transformers for test fixtures:
+    transformers layout -> OpenCLIP (resblocks, fused in_proj,
+    text_projection as the x @ proj matrix)."""
+    out = {}
+    renames = {"layer_norm1.": "ln_1.", "layer_norm2.": "ln_2.",
+               "mlp.fc1.": "mlp.c_fc.", "mlp.fc2.": "mlp.c_proj.",
+               "self_attn.out_proj.": "attn.out_proj."}
+    import re
+    layers = {}
+    for k, v in clip2.items():
+        m = re.match(r"text_model\.encoder\.layers\.(\d+)\.(.+)$", k)
+        if m:
+            layers.setdefault(int(m.group(1)), {})[m.group(2)] = np.asarray(v)
+    for i, leaves in layers.items():
+        pre = f"transformer.resblocks.{i}."
+        for kind in ("weight", "bias"):
+            out[pre + f"attn.in_proj_{kind}"] = np.concatenate(
+                [leaves[f"self_attn.q_proj.{kind}"],
+                 leaves[f"self_attn.k_proj.{kind}"],
+                 leaves[f"self_attn.v_proj.{kind}"]], axis=0)
+        for leaf, v in leaves.items():
+            if leaf.startswith("self_attn.q_proj") or \
+               leaf.startswith("self_attn.k_proj") or \
+               leaf.startswith("self_attn.v_proj"):
+                continue
+            for new, old in renames.items():
+                if leaf.startswith(new):
+                    leaf = old + leaf[len(new):]
+                    break
+            out[pre + leaf] = v
+    out["token_embedding.weight"] = clip2["text_model.embeddings.token_embedding.weight"]
+    out["positional_embedding"] = clip2["text_model.embeddings.position_embedding.weight"]
+    out["ln_final.weight"] = clip2["text_model.final_layer_norm.weight"]
+    out["ln_final.bias"] = clip2["text_model.final_layer_norm.bias"]
+    out["text_projection"] = np.ascontiguousarray(
+        np.asarray(clip2["text_projection.weight"]).T)
+    out["logit_scale"] = np.zeros((), np.float32)
+    return out
+
+
+def test_sdxl_single_file_load(tmp_path):
+    """WebUI-style SDXL single-file checkpoint (sgm namespace) loads through
+    load_ldm_checkpoint: UNet bijection incl. label_emb, CLIP-L passthrough,
+    OpenCLIP bigG tower conversion with text_projection."""
+    from scal_sdt_tpu.conf import Config
+    from scal_sdt_tpu.convert.loader import load_ldm_checkpoint
+    from scal_sdt_tpu.convert.sd_names import (
+        convert_unet_state_df_to_ldm, convert_vae_state_df_to_ldm)
+    from scal_sdt_tpu.utils.state import save_state_dict
+    from helpers import tiny_sdxl_models
+
+    m = tiny_sdxl_models(vocab_size=512)
+    state = {}
+    for k, v in convert_unet_state_df_to_ldm(m.unet, m.unet_config).items():
+        state[f"model.diffusion_model.{k}"] = np.asarray(v)
+    for k, v in convert_vae_state_df_to_ldm(m.vae, m.vae_config).items():
+        state[f"first_stage_model.{k}"] = np.asarray(v)
+    for k, v in m.clip.items():
+        state[f"conditioner.embedders.0.transformer.{k}"] = np.asarray(v)
+    for k, v in _to_openclip_layout(m.clip2).items():
+        state[f"conditioner.embedders.1.model.{k}"] = np.asarray(v)
+    ckpt = tmp_path / "sdxl.safetensors"
+    save_state_dict(state, ckpt)
+
+    u = m.unet_config
+    sgm = Config({"model": {"params": {
+        "network_config": {"params": {
+            "adm_in_channels": u.projection_class_embeddings_input_dim,
+            "num_classes": "sequential",
+            "in_channels": 4, "out_channels": 4, "model_channels": 32,
+            "attention_resolutions": [2], "num_res_blocks": 1,
+            "channel_mult": [1, 2], "num_head_channels": 16,
+            "use_linear_in_transformer": True,
+            "transformer_depth": [1, 2], "context_dim": 64,
+            "num_groups": 8, "addition_time_embed_dim": 8,
+        }},
+        "first_stage_config": {"params": {"ddconfig": {
+            "ch": m.vae_config.block_out_channels[0],
+            "in_channels": 3, "out_ch": 3,
+            "z_channels": m.vae_config.latent_channels,
+            "ch_mult": [c // m.vae_config.block_out_channels[0]
+                        for c in m.vae_config.block_out_channels],
+            "num_res_blocks": m.vae_config.layers_per_block,
+            "num_groups": m.vae_config.norm_num_groups,
+        }}},
+    }}})
+
+    loaded = load_ldm_checkpoint(ckpt, sgm)
+    assert loaded.is_sdxl and loaded.clip2 is not None
+    assert loaded.unet_config.transformer_layers_per_block == (1, 2)
+    assert loaded.unet_config.down_block_types == (
+        "DownBlock2D", "CrossAttnDownBlock2D")
+    assert loaded.vae_config.scaling_factor == 0.13025
+    # round-trip exactness on a couple of representative tensors
+    np.testing.assert_array_equal(
+        loaded.unet["add_embedding.linear_1.weight"],
+        np.asarray(m.unet["add_embedding.linear_1.weight"]))
+    np.testing.assert_array_equal(
+        loaded.clip2["text_projection.weight"],
+        np.asarray(m.clip2["text_projection.weight"]))
+    np.testing.assert_array_equal(
+        loaded.clip2["text_model.encoder.layers.0.self_attn.k_proj.weight"],
+        np.asarray(m.clip2["text_model.encoder.layers.0.self_attn.k_proj.weight"]))
+    assert loaded.clip2_config.projection_dim == 32
+
+
+def test_sdxl_unet_ldm_bijection_full_keyset():
+    """df->ldm->df over the REAL SDXL key set (dummy tensors; linear
+    projections mean pure renames) — proves the bijection incl. label_emb
+    and 3-level block indexing."""
+    from scal_sdt_tpu.convert.sd_names import (
+        convert_unet_state_df_to_ldm, convert_unet_state_ldm_to_df)
+
+    cfg = UNetConfig.sdxl()
+    names = unet_param_shapes(cfg)
+    state = {k: np.zeros(1, np.float32) for k in names}
+    ldm = convert_unet_state_df_to_ldm(state, cfg)
+    assert "label_emb.0.0.weight" in ldm and "label_emb.0.2.bias" in ldm
+    assert "time_embed.0.weight" in ldm
+    # SDXL: 9 input blocks (conv_in + 2x3 resnet layers + 2 downsamplers)
+    import re
+    in_blocks = {int(m.group(1)) for k in ldm
+                 if (m := re.match(r"input_blocks\.(\d+)\.", k))}
+    assert in_blocks == set(range(9)), sorted(in_blocks)
+    back = convert_unet_state_ldm_to_df(ldm, cfg)
+    assert set(back) == set(state)
