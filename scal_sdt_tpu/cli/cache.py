@@ -106,25 +106,48 @@ def build_local_shard(config: Config, models, tokenizer, *,
         moments = encoder_apply(vae_params, images, models.vae_config)
         return sample_latents(moments, rng, models.vae_config.scaling_factor)
 
-    @jax.jit
-    def encode_conds(input_ids):
-        return clip_text_apply(clip_params, input_ids, models.clip_config,
-                               stop_at_layer)
+    if models.is_sdxl:
+        from ..models.clip import clip_text_encode_sdxl, eos_positions
+
+        clip2_params = {k: jnp.asarray(v) for k, v in models.clip2.items()}
+
+        @jax.jit
+        def encode_conds(input_ids):
+            # dual-encoder SDXL conditioning, matching the live-encode path
+            # in training/step.py: concat penultimate states + pooled
+            penult1, _ = clip_text_encode_sdxl(clip_params, input_ids,
+                                               models.clip_config)
+            first_eos = eos_positions(input_ids,
+                                      models.clip_config.eos_token_id)
+            pos = jnp.arange(input_ids.shape[1])[None, :]
+            ids2 = jnp.where(pos > first_eos[:, None], 0, input_ids)
+            penult2, pooled = clip_text_encode_sdxl(clip2_params, ids2,
+                                                    models.clip2_config)
+            return jnp.concatenate([penult1, penult2], axis=-1), pooled
+    else:
+        @jax.jit
+        def encode_conds(input_ids):
+            conds = clip_text_apply(clip_params, input_ids,
+                                    models.clip_config, stop_at_layer)
+            return conds, None
 
     rng = jax.random.PRNGKey(int(config.get("seed") or 0))
     groups: list[np.ndarray] = []
     ids: Optional[np.ndarray] = None
     conds: Optional[np.ndarray] = None
+    pooled: Optional[np.ndarray] = None
     for group in range(aug_group_size):
-        lat_batches, id_batches, cond_batches = [], [], []
+        lat_batches, id_batches, cond_batches, pooled_batches = [], [], [], []
         for batch in itertools.islice(iter(pipeline), n_batches):
             rng, sub = jax.random.split(rng)
             lat_batches.append(
                 np.asarray(encode_latents(jnp.asarray(batch["images"]), sub)))
             id_batches.append(np.asarray(batch["ids"], np.int64))
             if group == 0 and not no_conds and "input_ids" in batch:
-                cond_batches.append(
-                    np.asarray(encode_conds(jnp.asarray(batch["input_ids"]))))
+                c, p = encode_conds(jnp.asarray(batch["input_ids"]))
+                cond_batches.append(np.asarray(c))
+                if p is not None:
+                    pooled_batches.append(np.asarray(p))
         group_ids = np.concatenate(id_batches)
         if ids is None:
             ids = group_ids
@@ -133,8 +156,11 @@ def build_local_shard(config: Config, models, tokenizer, *,
         groups.append(np.concatenate(lat_batches))
         if cond_batches:
             conds = np.concatenate(cond_batches)
+        if pooled_batches:
+            pooled = np.concatenate(pooled_batches)
 
-    return {"ids": ids, "latents": np.stack(groups), "conds": conds}
+    return {"ids": ids, "latents": np.stack(groups), "conds": conds,
+            "pooled": pooled}
 
 
 def merge_shards(shard: dict, world_size: int, allgather=None) -> dict:
@@ -161,6 +187,10 @@ def merge_shards(shard: dict, world_size: int, allgather=None) -> dict:
     if shard["conds"] is not None:
         conds = np.asarray(allgather(shard["conds"]))      # (P, N, L, D)
         out["conds"] = conds.reshape(-1, *conds.shape[2:])
+    out["pooled"] = None
+    if shard.get("pooled") is not None:
+        pooled = np.asarray(allgather(shard["pooled"]))    # (P, N, D2)
+        out["pooled"] = pooled.reshape(-1, *pooled.shape[2:])
     return out
 
 
@@ -181,6 +211,9 @@ def assemble_cache(merged: dict) -> tuple[dict, dict]:
     if conds is not None:
         for i, id_ in enumerate(ids):
             cache[f"{int(id_)}.cond"] = conds[i]
+    if merged.get("pooled") is not None:
+        for i, id_ in enumerate(ids):
+            cache[f"{int(id_)}.pooled"] = merged["pooled"][i]
 
     # Padding repeats ids; the per-key overwrites above already dedup the
     # tensors, and total_entries must be the UNIQUE count (it is consumed as

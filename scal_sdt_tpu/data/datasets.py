@@ -64,6 +64,7 @@ class CacheItem:
     id: int
     latent: np.ndarray     # (h, w, 4) float32, already scaled
     condition: Optional[np.ndarray]  # (L, D) float32 or None
+    pooled: Optional[np.ndarray] = None  # (D2,) SDXL pooled embed or None
 
 
 ItemType = Union[Item, CacheItem]
@@ -116,6 +117,13 @@ class LatentCache:
             return self._f.get_tensor(key)
         return None
 
+    def pooled(self, id_: int) -> Optional[np.ndarray]:
+        """SDXL pooled projected embedding (``{id}.pooled``), if cached."""
+        key = f"{id_}.pooled"
+        if key in self._f.keys():
+            return self._f.get_tensor(key)
+        return None
+
     def latent_size(self, id_: int) -> Size:
         h, w = self.metadata["sizes"][f"{id_}.latent.0"][:2]
         # stored as latent shape; image-space size is x8 with (w, h) order
@@ -153,6 +161,7 @@ class ImagePromptDataset:
                 id=index.value,
                 latent=self.cache.latent(index.value, group),
                 condition=self.cache.cond(index.value),
+                pooled=self.cache.pooled(index.value),
             )
         path = self.image_paths[index.value]
         return Item(

@@ -105,6 +105,8 @@ def collate(items: list) -> dict:
         batch["latents"] = np.stack([it.latent for it in ordered])
         if ordered[0].condition is not None:
             batch["conds"] = np.stack([it.condition for it in ordered])
+            if ordered[0].pooled is not None:   # SDXL cache
+                batch["pooled"] = np.stack([it.pooled for it in ordered])
         else:
             batch["prompts"] = None  # caller must tokenize separately
     else:

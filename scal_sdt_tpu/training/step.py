@@ -182,6 +182,16 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
     added_cond = None
     if "conds" in batch:
         conds = batch["conds"].astype(dt)
+        if spec.sdxl:
+            # SDXL cache fast path: {id}.cond holds the concatenated
+            # penultimate states, {id}.pooled the projected tower-2 embed
+            f = 2 ** (len(spec.vae_config.block_out_channels) - 1)
+            h_img, w_img = latents.shape[1] * f, latents.shape[2] * f
+            time_ids = jnp.tile(
+                jnp.asarray([h_img, w_img, 0, 0, h_img, w_img], jnp.float32),
+                (latents.shape[0], 1))
+            added_cond = {"text_embeds": batch["pooled"].astype(dt),
+                          "time_ids": time_ids}
     elif spec.sdxl:
         # SDXL dual-encoder conditioning (diffusers SDXL encode_prompt):
         # both towers' raw penultimate hidden states concatenated on the

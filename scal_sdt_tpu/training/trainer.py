@@ -162,10 +162,19 @@ class Trainer:
 
             all_params.update(_prefixed(dict(models.clip2), TE2_PREFIX))
         if models.is_sdxl and config.data.get("cache"):
-            raise ValueError(
-                "SDXL training from a condition cache is not supported yet: "
-                "the cache stores sequence conds without the pooled "
-                "embedding (use live text encoding)")
+            # an SDXL cache must carry {id}.pooled next to {id}.cond (the
+            # text_time embedding needs the pooled tower-2 state); a cache
+            # built against an SD1.x model cannot feed an SDXL UNet
+            from ..data.datasets import LatentCache
+
+            probe = LatentCache(config.data.cache)
+            first = probe.entries[0] if probe.entries else None
+            if first is not None and probe.cond(int(first)) is not None \
+                    and probe.pooled(int(first)) is None:
+                raise ValueError(
+                    "SDXL training needs a cache with pooled embeddings "
+                    "({id}.pooled): rebuild it with cache.py against this "
+                    "SDXL model")
         for k, v in all_params.items():
             arr = np.asarray(v)
             if np.issubdtype(arr.dtype, np.floating) or str(arr.dtype) == "bfloat16":

@@ -37,6 +37,14 @@ _SLOW_MODULES = {
     "test_grad_accumulation",
 }
 _SLOW_TESTS = {
+    # multi-minute SDXL e2e fits / full sampler loops (the cheap SDXL parity
+    # and shape tests stay in the quick set)
+    "test_sdxl_training_end_to_end",
+    "test_sdxl_lora_training_end_to_end",
+    "test_sdxl_sample_images_end_to_end",
+    "test_sdxl_single_file_load",
+    "test_dpmpp_end_to_end_and_img2img",
+    "test_guidance_rescale_changes_output",
     "test_mid_epoch_resume_matches_continuous_run",
     "test_lora_dropout_changes_training",
     "test_multihost_cache_padding_covers_all_ids",

@@ -179,17 +179,55 @@ def test_sdxl_training_end_to_end(tmp_path):
                for k in trainer.frozen)
 
 
-def test_sdxl_cache_config_rejected(tmp_path):
+def _write_cache(path, n, cond_dim=None, pooled_dim=None, latent_hw=4):
+    import json
+    from scal_sdt_tpu.utils.state import save_state_dict
+
+    rng = np.random.RandomState(0)
+    cache, sizes = {}, {}
+    for i in range(n):
+        lat = rng.randn(latent_hw, latent_hw, 4).astype(np.float32)
+        cache[f"{i}.latent.0"] = lat
+        sizes[f"{i}.latent.0"] = list(lat.shape)
+        if cond_dim:
+            cache[f"{i}.cond"] = rng.randn(77, cond_dim).astype(np.float32)
+        if pooled_dim:
+            cache[f"{i}.pooled"] = rng.randn(pooled_dim).astype(np.float32)
+    meta = {"sizes": sizes, "entries": list(range(n)), "total_entries": n,
+            "aug_group_size": 1}
+    save_state_dict(cache, path, "safetensors",
+                    metadata={"json": json.dumps(meta)})
+
+
+def test_sdxl_rejects_cache_without_pooled(tmp_path):
     from scal_sdt_tpu.text.tokenizer import HashTokenizer
     from scal_sdt_tpu.training.trainer import Trainer
     from helpers import make_image_dataset, tiny_config, tiny_sdxl_models
 
     data = make_image_dataset(tmp_path, n=4)
     cfg = tiny_config(data, tmp_path / "out")
-    cfg.data.cache = str(tmp_path / "cache.safetensors")
-    with pytest.raises(ValueError, match="SDXL"):
+    cache = tmp_path / "cache.safetensors"
+    _write_cache(cache, 4, cond_dim=64)      # SD1-style: cond, no pooled
+    cfg.data.cache = str(cache)
+    with pytest.raises(ValueError, match="pooled"):
         Trainer(cfg, tmp_path / "out" / "run",
                 models=tiny_sdxl_models(), tokenizer=HashTokenizer())
+
+
+def test_sdxl_trains_from_pooled_cache(tmp_path):
+    from scal_sdt_tpu.text.tokenizer import HashTokenizer
+    from scal_sdt_tpu.training.trainer import Trainer
+    from helpers import make_image_dataset, tiny_config, tiny_sdxl_models
+
+    data = make_image_dataset(tmp_path, n=4)
+    cfg = tiny_config(data, tmp_path / "out")
+    cache = tmp_path / "cache.safetensors"
+    _write_cache(cache, 4, cond_dim=64, pooled_dim=32)
+    cfg.data.cache = str(cache)
+    trainer = Trainer(cfg, tmp_path / "out" / "run",
+                      models=tiny_sdxl_models(), tokenizer=HashTokenizer())
+    metrics = trainer.fit(max_steps_override=2)
+    assert np.isfinite(float(metrics["train_loss"]))
 
 
 def test_sdxl_sample_images_end_to_end():
