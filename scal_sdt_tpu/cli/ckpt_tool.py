@@ -48,6 +48,7 @@ logger = logging.getLogger("ckpt-tool")
 
 UNET_CKPT_PREFIX = "unet."
 TE_CKPT_PREFIX = "condition_model.encoder."
+TE2_CKPT_PREFIX = "condition_model.encoder_2."   # SDXL tower 2
 EMA_CKPT_PREFIX = "unet_ema.shadow_params."
 
 
@@ -232,7 +233,13 @@ def extract_lora_cmd(checkpoint: Path, output: Path, overwrite: bool,
     unet = replace_prefix(state, UNET_CKPT_PREFIX)
     result.update(to_kohya_format(unet, "lora_unet", get_alpha()))
     te = replace_prefix(state, TE_CKPT_PREFIX)
-    result.update(to_kohya_format(te, "lora_te", get_alpha()))
+    te2 = replace_prefix(state, TE2_CKPT_PREFIX)
+    if te2:
+        # kohya SDXL convention: two towers exported as lora_te1_/lora_te2_
+        result.update(to_kohya_format(te, "lora_te1", get_alpha()))
+        result.update(to_kohya_format(te2, "lora_te2", get_alpha()))
+    else:
+        result.update(to_kohya_format(te, "lora_te", get_alpha()))
 
     cast = {k: (v.astype(DTYPE_MAP[dtype])
                 if np.issubdtype(np.asarray(v).dtype, np.floating) else v)

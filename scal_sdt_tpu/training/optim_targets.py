@@ -135,19 +135,28 @@ def resolve_targets(component_targets: list, param_keys: Iterable[str]) -> Targe
 
 def resolve_optim_target(optim_target: Config,
                          unet_keys: Iterable[str],
-                         text_encoder_keys: Iterable[str]) -> dict[str, TargetResolution]:
+                         text_encoder_keys: Iterable[str],
+                         text_encoder_2_keys: Optional[Iterable[str]] = None,
+                         ) -> dict[str, TargetResolution]:
     """Resolve the full optim-target spec (reference modules/model.py:223-242).
 
-    Returns a dict with 'unet' / 'text_encoder' resolutions (components absent
-    from the spec get an empty resolution == permanently frozen).
+    Returns a dict with 'unet' / 'text_encoder' (and, for SDXL models,
+    'text_encoder_2') resolutions; components absent from the spec get an
+    empty resolution == permanently frozen.
     """
+    components = [("unet", unet_keys), ("text_encoder", text_encoder_keys)]
+    if text_encoder_2_keys is not None:
+        components.append(("text_encoder_2", text_encoder_2_keys))
     out = {}
-    for name, keys in (("unet", unet_keys), ("text_encoder", text_encoder_keys)):
+    for name, keys in components:
         section = optim_target.get(name)
         if section is None:
             out[name] = TargetResolution(trainable=[], groups=[], lora={})
         else:
             out[name] = resolve_targets(section.targets, keys)
+    if text_encoder_2_keys is None and optim_target.get("text_encoder_2"):
+        raise ValueError("optim target addresses text_encoder_2 but the "
+                         "loaded model has no second text tower (not SDXL)")
     return out
 
 

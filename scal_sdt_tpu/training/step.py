@@ -38,7 +38,8 @@ VAE_PREFIX = "vae"
 
 
 def component_prefix(component: str) -> str:
-    return {"unet": UNET_PREFIX, "text_encoder": TE_PREFIX}[component]
+    return {"unet": UNET_PREFIX, "text_encoder": TE_PREFIX,
+            "text_encoder_2": TE2_PREFIX}[component]
 
 
 class TrainState(NamedTuple):
@@ -201,6 +202,7 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
         te_params = _merged_component(trainable, frozen, TE_PREFIX, dt)
         te_params[LORA_DROPOUT_RNG] = rng_lora
         te2_params = _merged_component(trainable, frozen, TE2_PREFIX, dt)
+        te2_params[LORA_DROPOUT_RNG] = rng_lora
         input_ids = batch["input_ids"]
         if spec.uncond_enabled and spec.uncond_mode == "eos":
             uncond_ids = jnp.broadcast_to(batch["uncond_ids"], input_ids.shape)

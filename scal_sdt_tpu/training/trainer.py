@@ -100,13 +100,17 @@ class Trainer:
         # -- optim target resolution (modules/model.py:136-164,216-242) -----
         optim_target = load_optim_target(config.optim_target)
         self.resolutions = resolve_optim_target(
-            optim_target, models.unet.keys(), clip_params.keys())
+            optim_target, models.unet.keys(), clip_params.keys(),
+            text_encoder_2_keys=(models.clip2.keys()
+                                 if models.clip2 is not None else None))
         self.train_text_encoder = self.resolutions["text_encoder"].any_trainable
 
         # -- LoRA factor injection ------------------------------------------
         rng = jax.random.PRNGKey(int(config.get("seed") or 0))
         rng, lora_rng = jax.random.split(rng)
         component_params = {"unet": dict(models.unet), "text_encoder": clip_params}
+        if models.clip2 is not None:
+            component_params["text_encoder_2"] = dict(models.clip2)
         for comp, res in self.resolutions.items():
             if res.lora:
                 lora = init_lora_params(lora_rng, component_params[comp], res.lora)
@@ -157,10 +161,12 @@ class Trainer:
         all_params.update(_prefixed(component_params["text_encoder"], TE_PREFIX))
         all_params.update(_prefixed(dict(models.vae), VAE_PREFIX))
         if models.clip2 is not None:
-            # SDXL tower 2 is frozen in v1 (no optim-target paths address it)
+            # SDXL tower 2 trains through the same optim-target engine
+            # (spec section `text_encoder_2:`); frozen when unaddressed
             from .step import TE2_PREFIX
 
-            all_params.update(_prefixed(dict(models.clip2), TE2_PREFIX))
+            all_params.update(_prefixed(component_params["text_encoder_2"],
+                                        TE2_PREFIX))
         if models.is_sdxl and config.data.get("cache"):
             # an SDXL cache must carry {id}.pooled next to {id}.cond (the
             # text_time embedding needs the pooled tower-2 state); a cache

@@ -402,3 +402,49 @@ def test_sdxl_unet_ldm_bijection_full_keyset():
     assert in_blocks == set(range(9)), sorted(in_blocks)
     back = convert_unet_state_ldm_to_df(ldm, cfg)
     assert set(back) == set(state)
+
+
+def test_sdxl_dual_tower_lora_and_kohya_export(tmp_path):
+    """lora_sdxl optim target: LoRA trains on the UNet AND both text towers;
+    ckpt_tool lora exports kohya SDXL naming (lora_te1_/lora_te2_)."""
+    from click.testing import CliRunner
+
+    from scal_sdt_tpu.cli.ckpt_tool import main as ckpt_main
+    from scal_sdt_tpu.text.tokenizer import HashTokenizer
+    from scal_sdt_tpu.training.trainer import Trainer
+    from scal_sdt_tpu.utils.state import load_state_dict
+    from helpers import make_image_dataset, tiny_config, tiny_sdxl_models
+
+    data = make_image_dataset(tmp_path, n=4)
+    cfg = tiny_config(data, tmp_path / "out")
+    cfg.optim_target = "lora_sdxl"
+    trainer = Trainer(cfg, tmp_path / "out" / "run",
+                      models=tiny_sdxl_models(), tokenizer=HashTokenizer())
+    assert trainer.resolutions["text_encoder_2"].any_trainable
+    metrics = trainer.fit(max_steps_override=2)
+    assert np.isfinite(float(metrics["train_loss"]))
+
+    ckpts = sorted((tmp_path / "out" / "run").glob("*.safetensors"))
+    assert ckpts
+    state = load_state_dict(ckpts[-1])
+    assert any(k.startswith("condition_model.encoder_2.") and ".lora_" in k
+               for k in state)
+
+    out = tmp_path / "kohya.safetensors"
+    res = CliRunner().invoke(ckpt_main,
+                             ["lora", str(ckpts[-1]), str(out)])
+    assert res.exit_code == 0, res.output
+    kohya = load_state_dict(out)
+    assert any(k.startswith("lora_te1_") for k in kohya)
+    assert any(k.startswith("lora_te2_") for k in kohya)
+    assert any(k.startswith("lora_unet_") for k in kohya)
+    assert not any(k.startswith("lora_te_") for k in kohya)
+
+
+def test_non_sdxl_rejects_te2_target(tmp_path):
+    from scal_sdt_tpu.conf import Config
+    from scal_sdt_tpu.training.optim_targets import resolve_optim_target
+
+    spec = Config({"text_encoder_2": {"targets": [{"index": ["x"]}]}})
+    with pytest.raises(ValueError, match="text_encoder_2"):
+        resolve_optim_target(spec, ["a"], ["b"])
