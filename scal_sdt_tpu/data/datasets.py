@@ -57,6 +57,10 @@ class Item:
     id: int
     prompt: str
     image: np.ndarray  # (H, W, 3) float32 in [-1, 1]
+    # (orig_h, orig_w, crop_top, crop_left) — SDXL size micro-conditioning
+    # (original file size; crop offsets in resized space, diffusers
+    # SDXL-trainer semantics). None when unknown.
+    size_cond: Optional[tuple[int, int, int, int]] = None
 
 
 @dataclass
@@ -164,10 +168,12 @@ class ImagePromptDataset:
                 pooled=self.cache.pooled(index.value),
             )
         path = self.image_paths[index.value]
+        image, size_cond = self._read_and_transform(path, index.size, rng)
         return Item(
             id=index.value,
-            image=self._read_and_transform(path, index.size, rng),
+            image=image,
             prompt=self._transform_caption(self.get_prompt(path), rng),
+            size_cond=size_cond,
         )
 
     def _transform_caption(self, prompt: str, rng: random.Random) -> str:
@@ -214,14 +220,16 @@ class ImagePromptDataset:
         return prompt.replace(PLACEHOLDER_TXT_PROMPT, txt_path.read_text())
 
     def _crop(self, img: Image.Image, cw: int, ch: int,
-              rng: random.Random) -> Image.Image:
+              rng: random.Random) -> tuple[Image.Image, int, int]:
+        """Crop to (cw, ch); returns (img, top, left) so the offsets can
+        feed SDXL size micro-conditioning."""
         if self.center_crop:
             left = (img.width - cw) // 2
             top = (img.height - ch) // 2
         else:
             left = rng.randint(0, max(img.width - cw, 0))
             top = rng.randint(0, max(img.height - ch, 0))
-        return img.crop((left, top, left + cw, top + ch))
+        return img.crop((left, top, left + cw, top + ch)), top, left
 
     def _maybe_augment(self, img: Image.Image, rng: random.Random) -> Image.Image:
         if self.augment is None:
@@ -248,22 +256,37 @@ class ImagePromptDataset:
         if not native_image.available():
             return None
         fx, fy = self._crop_fracs(rng)
-        return native_image.decode_resize_crop(path, cw, ch, fx, fy)
+        arr = native_image.decode_resize_crop(path, cw, ch, fx, fy)
+        if arr is None:
+            return None
+        # size conditioning: original size from the header (no decode);
+        # crop offsets recomputed with the same cover-resize rule the
+        # native pipeline uses (±1 px rounding is irrelevant to the
+        # conditioning signal)
+        with Image.open(path) as im:
+            ow, oh = im.size
+        scale = max(cw / ow, ch / oh)
+        rw = max(round(ow * scale), cw)
+        rh = max(round(oh * scale), ch)
+        top = int(fy * max(rh - ch, 0))
+        left = int(fx * max(rw - cw, 0))
+        return arr, (oh, ow, top, left)
 
-    def _read_and_transform(self, path: Path, size: Size,
-                            rng: random.Random) -> np.ndarray:
+    def _read_and_transform(self, path: Path, size: Size, rng: random.Random
+                            ) -> tuple[np.ndarray, tuple[int, int, int, int]]:
         dim = size[0]
         native = self._native_transform(path, dim, dim, rng)
         if native is not None:
             return native
         img = read_image(path)
+        ow, oh = img.size
         # resize shortest side to dim (torchvision Resize(dim) semantics)
         scale = dim / min(img.size)
         img = img.resize((max(round(img.width * scale), dim),
                           max(round(img.height * scale), dim)), Image.LANCZOS)
-        img = self._crop(img, dim, dim, rng)
+        img, top, left = self._crop(img, dim, dim, rng)
         img = self._maybe_augment(img, rng)
-        return _to_array(img)
+        return _to_array(img), (oh, ow, top, left)
 
 
 class AspectDataset(ImagePromptDataset):
@@ -287,20 +310,21 @@ class AspectDataset(ImagePromptDataset):
         scale = max(w_d / w, h_d / h)
         return (max(int(round(w * scale)), w_d), max(int(round(h * scale)), h_d))
 
-    def _read_and_transform(self, path: Path, size: Size,
-                            rng: random.Random) -> np.ndarray:
+    def _read_and_transform(self, path: Path, size: Size, rng: random.Random
+                            ) -> tuple[np.ndarray, tuple[int, int, int, int]]:
         if not self.debug:
             native = self._native_transform(path, size[0], size[1], rng)
             if native is not None:
                 return native
         img = read_image(path)
+        ow, oh = img.size
         w_t, h_t = self.preserve_ratio_size(img.size, size)
         img = img.resize((w_t, h_t), Image.LANCZOS)
-        img = self._crop(img, size[0], size[1], rng)
+        img, top, left = self._crop(img, size[0], size[1], rng)
         img = self._maybe_augment(img, rng)
         if self.debug:
             print(f"arb: {path.name} -> resize ({w_t},{h_t}) crop {size}")
-        return _to_array(img)
+        return _to_array(img), (oh, ow, top, left)
 
 
 class DBDataset:

@@ -112,6 +112,11 @@ def collate(items: list) -> dict:
     else:
         batch["images"] = np.stack([it.image for it in ordered])
         batch["prompts"] = [it.prompt for it in ordered]
+        if all(it.size_cond is not None for it in ordered):
+            # (B, 4) int32 [orig_h, orig_w, crop_top, crop_left] — SDXL size
+            # micro-conditioning; SD1.x/2.x steps ignore it
+            batch["size_cond"] = np.asarray(
+                [it.size_cond for it in ordered], np.int32)
     return batch
 
 

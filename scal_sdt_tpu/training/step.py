@@ -225,9 +225,18 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
             pooled = jnp.where(drop, jnp.zeros_like(pooled), pooled)
         f = 2 ** (len(spec.vae_config.block_out_channels) - 1)
         h_img, w_img = latents.shape[1] * f, latents.shape[2] * f
-        time_ids = jnp.tile(
-            jnp.asarray([h_img, w_img, 0, 0, h_img, w_img], jnp.float32),
-            (latents.shape[0], 1))
+        if "size_cond" in batch:
+            # per-image [orig_h, orig_w, crop_top, crop_left] from the
+            # dataset + the static target size (diffusers SDXL trainer
+            # time_ids layout)
+            target = jnp.tile(jnp.asarray([h_img, w_img], jnp.float32),
+                              (latents.shape[0], 1))
+            time_ids = jnp.concatenate(
+                [batch["size_cond"].astype(jnp.float32), target], axis=-1)
+        else:
+            time_ids = jnp.tile(
+                jnp.asarray([h_img, w_img, 0, 0, h_img, w_img], jnp.float32),
+                (latents.shape[0], 1))
         added_cond = {"text_embeds": pooled.astype(dt), "time_ids": time_ids}
     else:
         te_params = _merged_component(trainable, frozen, TE_PREFIX, dt)

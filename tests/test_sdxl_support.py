@@ -448,3 +448,55 @@ def test_non_sdxl_rejects_te2_target(tmp_path):
     spec = Config({"text_encoder_2": {"targets": [{"index": ["x"]}]}})
     with pytest.raises(ValueError, match="text_encoder_2"):
         resolve_optim_target(spec, ["a"], ["b"])
+
+
+def test_size_cond_flows_from_dataset_to_batch(tmp_path):
+    """Items carry (orig_h, orig_w, top, left); collate emits (B, 4) int32;
+    the SDXL step turns it into per-image time_ids."""
+    from scal_sdt_tpu.data.datasets import Concept, ImagePromptDataset, Index
+    from scal_sdt_tpu.data.pipeline import collate
+    from helpers import make_image_dataset
+
+    data = make_image_dataset(tmp_path, n=2, size=(64, 48))  # landscape
+    ds = ImagePromptDataset([Concept(str(data), "{TXT_PROMPT}")], seed=1)
+    items = [ds[Index(i, (32, 32))] for i in range(2)]
+    assert items[0].size_cond is not None
+    oh, ow, top, left = items[0].size_cond
+    assert (oh, ow) == (48, 64)          # original file size (h, w)
+    assert top == 0                      # height is the short side: no slack
+    assert 0 <= left <= (round(64 * 32 / 48) - 32)
+
+    batch = collate(items)
+    assert batch["size_cond"].shape == (2, 4)
+    assert batch["size_cond"].dtype == np.int32
+
+
+def test_sdxl_step_uses_per_image_size_cond():
+    import dataclasses
+    from scal_sdt_tpu.training.step import StepSpec, compute_loss
+    from helpers import tiny_sdxl_models
+
+    m = tiny_sdxl_models()
+    spec = StepSpec(unet_config=m.unet_config, clip_config=m.clip_config,
+                    vae_config=m.vae_config, schedule=m.schedule,
+                    compute_dtype=jnp.float32, clip2_config=m.clip2_config)
+    frozen = {}
+    for pre, params in (("unet", m.unet), ("condition_model.encoder", m.clip),
+                        ("condition_model.encoder_2", m.clip2), ("vae", m.vae)):
+        frozen.update({f"{pre}.{k}": jnp.asarray(v) for k, v in params.items()})
+    base = {
+        "images": jnp.asarray(
+            np.random.RandomState(0).uniform(-1, 1, (2, 32, 32, 3)),
+            jnp.float32),
+        "input_ids": jnp.asarray(
+            np.random.RandomState(1).randint(0, 1000, (2, 77)), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(0)
+    loss_default, _ = compute_loss({}, frozen, dict(base), rng, spec)
+    with_sc = dict(base)
+    with_sc["size_cond"] = jnp.asarray([[1024, 768, 10, 20],
+                                        [512, 512, 0, 0]], jnp.int32)
+    loss_sc, _ = compute_loss({}, frozen, with_sc, rng, spec)
+    assert np.isfinite(loss_default) and np.isfinite(loss_sc)
+    # different micro-conditioning must change the UNet output/loss
+    assert abs(float(loss_default) - float(loss_sc)) > 0
