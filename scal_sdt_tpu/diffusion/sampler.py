@@ -25,8 +25,17 @@ from .schedule import NoiseSchedule
 
 
 def ddim_timesteps(schedule: NoiseSchedule, num_inference_steps: int) -> np.ndarray:
-    """'leading' spacing with steps_offset, diffusers DDIMScheduler semantics."""
-    step_ratio = schedule.num_train_timesteps // num_inference_steps
+    """Inference timestep ladder, diffusers scheduler semantics.
+
+    'leading' (SD default): arange * ratio + steps_offset. 'trailing'
+    (recommended for zero-terminal-SNR models, arXiv:2305.08891 §3.2):
+    descending from T so sampling starts at the pure-noise step T-1.
+    """
+    T = schedule.num_train_timesteps
+    if schedule.timestep_spacing == "trailing":
+        ts = np.round(np.arange(T, 0, -T / num_inference_steps)).astype(np.int64) - 1
+        return ts
+    step_ratio = T // num_inference_steps
     ts = (np.arange(0, num_inference_steps) * step_ratio).round().astype(np.int64)[::-1]
     return ts + schedule.steps_offset
 
@@ -166,7 +175,10 @@ def euler_sample_latents(unet_params: Params, cond: jnp.ndarray, uncond: jnp.nda
     if schedule.prediction_type == "sample":
         raise ValueError("euler samplers do not support prediction_type=sample")
     ts = jnp.asarray(ddim_timesteps(schedule, num_steps), jnp.int32)[t_start_index:]
-    acp = jnp.asarray(schedule.alphas_cumprod).astype(jnp.float32)
+    # zero-terminal-SNR models have abar[T-1] == 0 (sigma = inf); clamp to
+    # 2^-24 exactly like diffusers' EulerDiscreteScheduler ZTSNR handling
+    acp = jnp.maximum(jnp.asarray(schedule.alphas_cumprod), 2.0 ** -24
+                      ).astype(jnp.float32)
     sigmas = jnp.sqrt((1.0 - acp[ts]) / acp[ts])
     sigmas_next = jnp.concatenate([sigmas[1:], jnp.zeros((1,))])
 
@@ -234,7 +246,10 @@ def dpmpp_2m_sample_latents(unet_params: Params, cond: jnp.ndarray,
     """
     schedule = spec.schedule
     ts = jnp.asarray(ddim_timesteps(schedule, num_steps), jnp.int32)[t_start_index:]
-    acp = jnp.asarray(schedule.alphas_cumprod).astype(jnp.float32)
+    # zero-terminal-SNR models have abar[T-1] == 0 (sigma = inf); clamp to
+    # 2^-24 exactly like diffusers' EulerDiscreteScheduler ZTSNR handling
+    acp = jnp.maximum(jnp.asarray(schedule.alphas_cumprod), 2.0 ** -24
+                      ).astype(jnp.float32)
     sigmas = jnp.sqrt((1.0 - acp[ts]) / acp[ts])
     sigmas_next = jnp.concatenate([sigmas[1:], jnp.zeros((1,))])
     n = ts.shape[0]

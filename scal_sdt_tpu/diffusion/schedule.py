@@ -33,6 +33,10 @@ class NoiseSchedule:
     steps_offset: int = 1
     clip_sample: bool = False
     set_alpha_to_one: bool = False
+    # diffusers timestep_spacing: 'leading' (SD default) or 'trailing'
+    # (recommended with zero-terminal-SNR models, arXiv:2305.08891 §3.2 —
+    # sampling then actually starts from the pure-noise timestep T-1)
+    timestep_spacing: str = "leading"
     # Zero-terminal-SNR beta rescale (arXiv:2305.08891; diffusers
     # rescale_betas_zero_snr): forces alphas_cumprod[T-1] -> 0 so the last
     # train timestep is pure noise. Requires v-prediction (epsilon is
@@ -40,6 +44,10 @@ class NoiseSchedule:
     rescale_zero_terminal_snr: bool = False
 
     def __post_init__(self):
+        # normalize the diffusers alias so every consumer compares against
+        # the canonical names ('epsilon' | 'v' | 'sample')
+        if self.prediction_type == "v_prediction":
+            object.__setattr__(self, "prediction_type", "v")
         if self.rescale_zero_terminal_snr and self.prediction_type == "epsilon":
             raise ValueError(
                 "rescale_zero_terminal_snr requires v (or sample) prediction: "
@@ -142,6 +150,7 @@ class NoiseSchedule:
             set_alpha_to_one=bool(config.get("set_alpha_to_one", False)),
             rescale_zero_terminal_snr=bool(
                 config.get("rescale_betas_zero_snr", False)),
+            timestep_spacing=config.get("timestep_spacing", "leading"),
         )
 
 

@@ -54,3 +54,44 @@ def test_diffusers_scheduler_key_respected(tmp_path):
     cfg = merge(default(), Config({"model": str(model_dir)}))
     loaded = load_components(cfg)
     assert loaded.schedule.rescale_zero_terminal_snr
+
+
+def test_trailing_timestep_spacing():
+    """diffusers 'trailing' semantics: starts exactly at T-1 (pure noise for
+    ZTSNR models), descending, ends near 0."""
+    from scal_sdt_tpu.diffusion.sampler import ddim_timesteps
+
+    s = NoiseSchedule(prediction_type="v", timestep_spacing="trailing")
+    ts = ddim_timesteps(s, 4)
+    np.testing.assert_array_equal(ts, [999, 749, 499, 249])
+    ts10 = ddim_timesteps(s, 10)
+    assert ts10[0] == 999 and ts10[-1] == 99 and np.all(np.diff(ts10) < 0)
+    # leading unchanged
+    lead = ddim_timesteps(NoiseSchedule(), 4)
+    np.testing.assert_array_equal(lead, [751, 501, 251, 1])
+
+
+def test_ztsnr_trailing_sampling_all_methods_finite():
+    """ZTSNR v-prediction + trailing spacing samples finitely through DDIM
+    (terminal abar=0 handled exactly by the v parameterization) and the
+    sigma-space samplers (2^-24 clamp, diffusers Euler ZTSNR parity)."""
+    import jax.numpy as jnp
+
+    from scal_sdt_tpu.diffusion.sampler import SamplerSpec, sample_images
+    from scal_sdt_tpu.text.tokenizer import HashTokenizer
+    from helpers import tiny_models
+
+    m = tiny_models()
+    schedule = NoiseSchedule(prediction_type="v",
+                             rescale_zero_terminal_snr=True,
+                             timestep_spacing="trailing")
+    spec = SamplerSpec(unet_config=m.unet_config, vae_config=m.vae_config,
+                       clip_config=m.clip_config, schedule=schedule,
+                       dtype=jnp.float32)
+    for method in ("ddim", "euler", "dpmpp_2m"):
+        out = sample_images(m.unet, m.vae, m.clip, HashTokenizer(),
+                            ["a test"], "", spec, steps=4, cfg_scale=5.0,
+                            width=32, height=32, seed=1, method=method,
+                            guidance_rescale=0.7)
+        assert out.shape == (1, 32, 32, 3), method
+        assert np.isfinite(out.astype(np.float64)).all(), method
