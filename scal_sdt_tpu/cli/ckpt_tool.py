@@ -106,14 +106,24 @@ def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
     else:
         unet_state = replace_prefix(state, UNET_CKPT_PREFIX)
     unet_state = {k: v for k, v in unet_state.items() if ".lora_" not in k}
-    if arch == "auto":
-        arch = "sdxl" if any(
-            k.startswith("add_embedding.")
-            or k.startswith("mid_block.attentions.0.transformer_blocks.1.")
-            for k in unet_state) else "sd1"
-    unet_state = convert_unet_state_df_to_ldm(
-        unet_state,
-        UNetConfig.sdxl() if arch == "sdxl" else UNetConfig.sd15())
+    from ..convert.sd_names import infer_unet_layout
+
+    inferred = infer_unet_layout(unet_state) if arch == "auto" else None
+    if inferred is not None:
+        # full state: index the bijection by the checkpoint's ACTUAL block
+        # structure (SD1.x, SDXL, or miniature models alike)
+        map_config = inferred
+        arch = "sdxl" if inferred.addition_embed_type == "text_time" else "sd1"
+    else:
+        # partial (e.g. KV-only) states are structurally ambiguous: fall
+        # back to the canonical architecture chosen via --arch
+        if arch == "auto":
+            arch = "sdxl" if any(
+                k.startswith("add_embedding.")
+                or k.startswith("mid_block.attentions.0.transformer_blocks.1.")
+                for k in unet_state) else "sd1"
+        map_config = UNetConfig.sdxl() if arch == "sdxl" else UNetConfig.sd15()
+    unet_state = convert_unet_state_df_to_ldm(unet_state, map_config)
     unet_state = replace_prefix(unet_state, "", "model.diffusion_model.")
     ldm_state.update(cast_type(unet_state, unet_dtype))
 
@@ -134,7 +144,28 @@ def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
         ldm_state.update(cast_type(vae_state, vae_dtype))
 
     # Text encoder
-    if text_encoder:
+    if text_encoder and arch == "sdxl":
+        # WebUI SDXL single-file layout: tower 1 (transformers layout) under
+        # conditioner.embedders.0.transformer, tower 2 converted back to
+        # OpenCLIP under conditioner.embedders.1.model
+        from ..convert.sd_names import convert_transformers_text_to_openclip
+
+        te1 = replace_prefix(state, TE_CKPT_PREFIX,
+                             "conditioner.embedders.0.transformer.")
+        te1 = {k: v for k, v in te1.items() if ".lora_" not in k}
+        te2 = replace_prefix(state, TE2_CKPT_PREFIX)
+        te2 = {k: v for k, v in te2.items() if ".lora_" not in k}
+        if not te1 or not te2:
+            logger.warning(
+                "Checkpoint lacks full SDXL text towers (trainable-only "
+                "checkpoints omit frozen components); skipping --text-encoder "
+                "— merge into a full model with `graft` instead")
+        else:
+            ldm_state.update(cast_type(te1, text_encoder_dtype))
+            te2 = {f"conditioner.embedders.1.model.{k}": v
+                   for k, v in convert_transformers_text_to_openclip(te2).items()}
+            ldm_state.update(cast_type(te2, text_encoder_dtype))
+    elif text_encoder:
         te_state = replace_prefix(state, TE_CKPT_PREFIX, "cond_stage_model.transformer.")
         te_state = {k: v for k, v in te_state.items() if ".lora_" not in k}
         if not te_state:

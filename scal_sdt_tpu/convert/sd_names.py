@@ -155,6 +155,52 @@ def _build_name_map(prefix_pairs: list[tuple[str, str]], df_names: Iterable[str]
     return out
 
 
+def infer_unet_layout(df_names: Iterable[str]):
+    """Infer the block structure a diffusers-named UNet state actually has
+    (levels, layers_per_block, per-level attention, text_time embedding) so
+    the LDM bijection indexes correctly for ANY architecture — SD1.x (4
+    levels), SDXL (3 levels, add_embedding), or miniature test models.
+    Returns None for partial states (no resnet keys): the structure is then
+    ambiguous and a canonical config must be chosen by the caller."""
+    import re
+
+    names = list(df_names)
+    down_levels: dict[int, int] = {}
+    down_attn: set[int] = set()
+    up_levels: dict[int, int] = {}
+    up_attn: set[int] = set()
+    for n in names:
+        m = re.match(r"down_blocks\.(\d+)\.resnets\.(\d+)\.", n)
+        if m:
+            i, j = int(m.group(1)), int(m.group(2))
+            down_levels[i] = max(down_levels.get(i, 0), j + 1)
+        if re.match(r"down_blocks\.(\d+)\.attentions\.", n):
+            down_attn.add(int(n.split(".")[1]))
+        m = re.match(r"up_blocks\.(\d+)\.resnets\.(\d+)\.", n)
+        if m:
+            i, j = int(m.group(1)), int(m.group(2))
+            up_levels[i] = max(up_levels.get(i, 0), j + 1)
+        if re.match(r"up_blocks\.(\d+)\.attentions\.", n):
+            up_attn.add(int(n.split(".")[1]))
+    if not down_levels or not up_levels:
+        return None
+    n_levels = max(down_levels) + 1
+    lpb = max(down_levels.values())
+    return UNetConfig(
+        block_out_channels=tuple(320 for _ in range(n_levels)),  # unused by the map
+        layers_per_block=lpb,
+        down_block_types=tuple(
+            "CrossAttnDownBlock2D" if i in down_attn else "DownBlock2D"
+            for i in range(n_levels)),
+        up_block_types=tuple(
+            "CrossAttnUpBlock2D" if i in up_attn else "UpBlock2D"
+            for i in range(max(up_levels) + 1)),
+        addition_embed_type=("text_time" if any(
+            n.startswith("add_embedding.") for n in names) else None),
+        projection_class_embeddings_input_dim=1,  # unused by the map
+    )
+
+
 def unet_name_map(config: UNetConfig, df_names: Iterable[str]) -> dict[str, str]:
     return _build_name_map(unet_prefix_map(config), df_names, unet_resnets=True)
 
@@ -300,6 +346,54 @@ def normalize_df_vae_attention(state: dict) -> dict:
                     v = np.asarray(v).reshape(v.shape[0], v.shape[1])
                 break
         out[k] = v
+    return out
+
+
+def convert_transformers_text_to_openclip(state: dict) -> dict:
+    """Inverse of ``convert_openclip_text_to_transformers`` (sans the
+    ViT-H penultimate-drop): transformers CLIP layout -> OpenCLIP
+    (resblocks, fused ``attn.in_proj``, ``text_projection`` stored as the
+    ``x @ proj`` matrix). Used to publish SDXL tower 2 into the WebUI
+    single-file ``conditioner.embedders.1.model.*`` namespace."""
+    import re
+
+    out: dict = {}
+    renames = [("layer_norm1.", "ln_1."), ("layer_norm2.", "ln_2."),
+               ("mlp.fc1.", "mlp.c_fc."), ("mlp.fc2.", "mlp.c_proj."),
+               ("self_attn.out_proj.", "attn.out_proj.")]
+    layers: dict[int, dict] = {}
+    for k, v in state.items():
+        m = re.match(r"text_model\.encoder\.layers\.(\d+)\.(.+)$", k)
+        if m:
+            layers.setdefault(int(m.group(1)), {})[m.group(2)] = np.asarray(v)
+    for i, leaves in layers.items():
+        pre = f"transformer.resblocks.{i}."
+        for kind in ("weight", "bias"):
+            out[pre + f"attn.in_proj_{kind}"] = np.concatenate(
+                [leaves[f"self_attn.q_proj.{kind}"],
+                 leaves[f"self_attn.k_proj.{kind}"],
+                 leaves[f"self_attn.v_proj.{kind}"]], axis=0)
+        for leaf, v in leaves.items():
+            if leaf.startswith(("self_attn.q_proj", "self_attn.k_proj",
+                                "self_attn.v_proj")):
+                continue
+            for new, old in renames:
+                if leaf.startswith(new):
+                    leaf = old + leaf.removeprefix(new)
+                    break
+            out[pre + leaf] = v
+    top = {
+        "text_model.embeddings.token_embedding.weight": "token_embedding.weight",
+        "text_model.embeddings.position_embedding.weight": "positional_embedding",
+        "text_model.final_layer_norm.weight": "ln_final.weight",
+        "text_model.final_layer_norm.bias": "ln_final.bias",
+    }
+    for src, dst in top.items():
+        if src in state:
+            out[dst] = np.asarray(state[src])
+    if "text_projection.weight" in state:
+        out["text_projection"] = np.ascontiguousarray(
+            np.asarray(state["text_projection.weight"]).T)
     return out
 
 

@@ -43,6 +43,8 @@ _SLOW_TESTS = {
     "test_sdxl_lora_training_end_to_end",
     "test_sdxl_dual_tower_lora_and_kohya_export",
     "test_sdxl_trains_from_pooled_cache",
+    "test_sdxl_prune_emits_conditioner_namespace",
+    "test_openclip_conversion_round_trip",
     "test_sdxl_sample_images_end_to_end",
     "test_sdxl_single_file_load",
     "test_dpmpp_end_to_end_and_img2img",

@@ -276,44 +276,30 @@ def test_sdxl_lora_training_end_to_end(tmp_path):
 
 
 def _to_openclip_layout(clip2: dict) -> dict:
-    """Inverse of convert_openclip_text_to_transformers for test fixtures:
-    transformers layout -> OpenCLIP (resblocks, fused in_proj,
-    text_projection as the x @ proj matrix)."""
-    out = {}
-    renames = {"layer_norm1.": "ln_1.", "layer_norm2.": "ln_2.",
-               "mlp.fc1.": "mlp.c_fc.", "mlp.fc2.": "mlp.c_proj.",
-               "self_attn.out_proj.": "attn.out_proj."}
-    import re
-    layers = {}
-    for k, v in clip2.items():
-        m = re.match(r"text_model\.encoder\.layers\.(\d+)\.(.+)$", k)
-        if m:
-            layers.setdefault(int(m.group(1)), {})[m.group(2)] = np.asarray(v)
-    for i, leaves in layers.items():
-        pre = f"transformer.resblocks.{i}."
-        for kind in ("weight", "bias"):
-            out[pre + f"attn.in_proj_{kind}"] = np.concatenate(
-                [leaves[f"self_attn.q_proj.{kind}"],
-                 leaves[f"self_attn.k_proj.{kind}"],
-                 leaves[f"self_attn.v_proj.{kind}"]], axis=0)
-        for leaf, v in leaves.items():
-            if leaf.startswith("self_attn.q_proj") or \
-               leaf.startswith("self_attn.k_proj") or \
-               leaf.startswith("self_attn.v_proj"):
-                continue
-            for new, old in renames.items():
-                if leaf.startswith(new):
-                    leaf = old + leaf[len(new):]
-                    break
-            out[pre + leaf] = v
-    out["token_embedding.weight"] = clip2["text_model.embeddings.token_embedding.weight"]
-    out["positional_embedding"] = clip2["text_model.embeddings.position_embedding.weight"]
-    out["ln_final.weight"] = clip2["text_model.final_layer_norm.weight"]
-    out["ln_final.bias"] = clip2["text_model.final_layer_norm.bias"]
-    out["text_projection"] = np.ascontiguousarray(
-        np.asarray(clip2["text_projection.weight"]).T)
+    """Library inverse conversion + the logit_scale leaf a real OpenCLIP
+    state carries (dropped knowingly on load)."""
+    from scal_sdt_tpu.convert.sd_names import (
+        convert_transformers_text_to_openclip)
+
+    out = convert_transformers_text_to_openclip(clip2)
     out["logit_scale"] = np.zeros((), np.float32)
     return out
+
+
+def test_openclip_conversion_round_trip():
+    """transformers -> OpenCLIP -> transformers is the identity (incl.
+    text_projection transposition) for a non-24-layer tower."""
+    from scal_sdt_tpu.convert.sd_names import (
+        convert_openclip_text_to_transformers,
+        convert_transformers_text_to_openclip)
+    from helpers import tiny_sdxl_models
+
+    clip2 = {k: np.asarray(v) for k, v in tiny_sdxl_models().clip2.items()}
+    oc = convert_transformers_text_to_openclip(clip2)
+    back = convert_openclip_text_to_transformers(oc, keep_projection=True)
+    assert set(back) == set(clip2)
+    for k in clip2:
+        np.testing.assert_array_equal(back[k], clip2[k])
 
 
 def test_sdxl_single_file_load(tmp_path):
@@ -500,3 +486,69 @@ def test_sdxl_step_uses_per_image_size_cond():
     assert np.isfinite(loss_default) and np.isfinite(loss_sc)
     # different micro-conditioning must change the UNet output/loss
     assert abs(float(loss_default) - float(loss_sc)) > 0
+
+
+def test_sdxl_prune_emits_conditioner_namespace(tmp_path):
+    """prune --arch sdxl --text-encoder publishes the WebUI single-file
+    layout: UNet + tower 1 (transformers) + tower 2 (OpenCLIP), loadable
+    back through load_ldm_checkpoint."""
+    from click.testing import CliRunner
+
+    from scal_sdt_tpu.cli.ckpt_tool import main as ckpt_main
+    from scal_sdt_tpu.convert.loader import load_ldm_checkpoint
+    from scal_sdt_tpu.conf import Config
+    from scal_sdt_tpu.utils.state import save_state_dict
+    from helpers import tiny_sdxl_models
+
+    m = tiny_sdxl_models(vocab_size=512)
+    state = {}
+    state.update({f"unet.{k}": np.asarray(v) for k, v in m.unet.items()})
+    state.update({f"condition_model.encoder.{k}": np.asarray(v)
+                  for k, v in m.clip.items()})
+    state.update({f"condition_model.encoder_2.{k}": np.asarray(v)
+                  for k, v in m.clip2.items()})
+    ckpt = tmp_path / "train.safetensors"
+    save_state_dict(state, ckpt)
+
+    out = tmp_path / "sdxl_ldm.safetensors"
+    res = CliRunner().invoke(ckpt_main, [
+        "prune", str(ckpt), str(out), "--text-encoder",
+        "--text-encoder-dtype", "fp32"])
+    assert res.exit_code == 0, res.output
+
+    from scal_sdt_tpu.utils.state import load_state_dict
+    ldm = load_state_dict(out)
+    assert any(k.startswith("conditioner.embedders.0.transformer.") for k in ldm)
+    assert any(k.startswith("conditioner.embedders.1.model.transformer.resblocks.")
+               for k in ldm)
+    assert "conditioner.embedders.1.model.text_projection" in ldm
+    assert any(k.startswith("model.diffusion_model.label_emb.") for k in ldm)
+
+    # loads back through the SDXL single-file path (VAE supplied separately:
+    # trainable-only checkpoints never carry the frozen VAE)
+    from scal_sdt_tpu.convert.sd_names import convert_vae_state_df_to_ldm
+    vae_file = tmp_path / "vae.safetensors"
+    save_state_dict({f"first_stage_model.{k}": np.asarray(v) for k, v in
+                     convert_vae_state_df_to_ldm(m.vae, m.vae_config).items()},
+                    vae_file)
+    sgm = Config({"model": {"params": {
+        "network_config": {"params": {
+            "adm_in_channels": 80, "num_classes": "sequential",
+            "in_channels": 4, "out_channels": 4, "model_channels": 32,
+            "attention_resolutions": [2], "num_res_blocks": 1,
+            "channel_mult": [1, 2], "num_head_channels": 16,
+            "use_linear_in_transformer": True,
+            "transformer_depth": [1, 2], "context_dim": 64,
+            "num_groups": 8, "addition_time_embed_dim": 8}},
+        "first_stage_config": {"params": {"ddconfig": {
+            "ch": m.vae_config.block_out_channels[0], "in_channels": 3,
+            "out_ch": 3, "z_channels": m.vae_config.latent_channels,
+            "ch_mult": [c // m.vae_config.block_out_channels[0]
+                        for c in m.vae_config.block_out_channels],
+            "num_res_blocks": m.vae_config.layers_per_block,
+            "num_groups": m.vae_config.norm_num_groups}}}}}})
+    loaded = load_ldm_checkpoint(out, sgm, vae_path=str(vae_file))
+    assert loaded.is_sdxl
+    np.testing.assert_allclose(
+        loaded.clip2["text_projection.weight"],
+        np.asarray(m.clip2["text_projection.weight"]), rtol=1e-6)
