@@ -27,7 +27,10 @@ run bench_int8 1200 env SSDT_BENCH_OPT=adamw8bit SSDT_BENCH_MOMENT=fp32 python b
 # 4. VAE-encode images/sec (regression check vs 68.2)
 run bench_vae 1200 python bench_vae.py
 
-# 5. Splash backward block sweep (quick grid)
+# 5. Sampling throughput (serving-side metric)
+run bench_sample 1800 python bench_sample.py
+
+# 6. Splash backward block sweep (quick grid)
 run splash_sweep 3600 python lab/micro_splash_sweep.py quick
 
 echo "campaign done; summarize into PERF_NOTES.md"
