@@ -80,10 +80,24 @@ def main():
 
     unet_config = UNetConfig.tiny() if TINY else UNetConfig.sd15()
     params = init_unet_params(jax.random.PRNGKey(0), unet_config, dtype=jnp.float32)
-    trainable = {f"{UNET_PREFIX}.{k}": v for k, v in params.items()}
 
-    resolutions = resolve_optim_target(
-        load_optim_target("full_unet"), params.keys(), [])
+    # SSDT_BENCH_TARGET selects the optim target (BASELINE.md workloads:
+    # full_unet = workload 1, lora_no-te = workload 2, custom_diffusion =
+    # workload 5's training side). Non-full targets freeze the base UNet.
+    TARGET = os.environ.get("SSDT_BENCH_TARGET", "full_unet")
+    resolutions = resolve_optim_target(load_optim_target(TARGET), params.keys(), [])
+    res = resolutions["unet"]
+    if res.lora:
+        from scal_sdt_tpu.training.lora import init_lora_params
+
+        lora = init_lora_params(jax.random.PRNGKey(7), params, res.lora)
+        params.update(lora)
+    trainable = {}
+    frozen_unet = {}
+    trainable_names = set(res.trainable)
+    for k, v in params.items():
+        (trainable if k in trainable_names else frozen_unet)[
+            f"{UNET_PREFIX}.{k}"] = v
     labels = group_labels(resolutions)
     overrides = {f"g{i}": g.optimizer for i, g in enumerate(resolutions["unet"].groups)}
 
@@ -123,7 +137,7 @@ def main():
         trainable = shard_params(mesh, trainable)
         state = init_train_state(jax.random.PRNGKey(1), trainable, tx,
                                  ema_enabled=EMA, ema_decay=0.9999)
-        frozen: dict = {}
+        frozen: dict = shard_params(mesh, frozen_unet) if frozen_unet else {}
         bs = batch_sharding(mesh)
         batch = {
             "latents": jax.device_put(
@@ -149,13 +163,17 @@ def main():
         assert np.isfinite(loss), f"non-finite loss {loss}"
 
     steps_per_sec = ITERS / dt
+    headline = TARGET == "full_unet" and not TINY
     print(json.dumps({
         "metric": ("tiny_cpu_smoke" if TINY else
                    "sd15_unet_full_finetune_train_steps_per_sec_b8_512"
-                   + ("_ema" if EMA else "")),
+                   + ("_ema" if EMA else "")
+                   if TARGET == "full_unet" else
+                   f"sd15_{TARGET}_train_steps_per_sec_b{BATCH}_512"),
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec",
-        "vs_baseline": None if TINY else round(steps_per_sec / 4.0, 4),
+        # the >=4 target is defined for the full fine-tune only
+        "vs_baseline": round(steps_per_sec / 4.0, 4) if headline else None,
     }))
 
 

@@ -27,6 +27,10 @@ run bench_int8 1200 env SSDT_BENCH_OPT=adamw8bit SSDT_BENCH_MOMENT=fp32 python b
 # 4. VAE-encode images/sec (regression check vs 68.2)
 run bench_vae 1200 python bench_vae.py
 
+# 4b. LoRA + custom-diffusion workload steps/s (BASELINE workloads 2/5)
+run bench_lora 1200 env SSDT_BENCH_TARGET=lora_no-te python bench.py
+run bench_cd 1200 env SSDT_BENCH_TARGET=custom_diffusion python bench.py
+
 # 5. Sampling throughput (serving-side metric)
 run bench_sample 1800 python bench_sample.py
 
