@@ -24,16 +24,25 @@ logger = logging.getLogger("sample")
 
 def _merge_checkpoint(models, ckpt_path: Path) -> dict:
     """Overlay a training checkpoint's trainable tensors (and LoRA factors)
-    onto the loaded base components, in place. Returns the checkpoint
-    metadata (e.g. ti_tokens for trained textual-inversion keywords)."""
+    onto the loaded base components, in place. kohya/AddNet LoRA files from
+    the wider ecosystem are auto-detected and imported. Returns the
+    checkpoint metadata (e.g. ti_tokens for trained TI keywords)."""
     import numpy as np
 
+    from ..convert.kohya import from_kohya_format, is_kohya_lora
     from ..training.checkpoint import load_checkpoint_tensors
-    from ..training.step import TE_PREFIX, UNET_PREFIX, VAE_PREFIX
+    from ..training.step import TE2_PREFIX, TE_PREFIX, UNET_PREFIX, VAE_PREFIX
 
     tensors, meta = load_checkpoint_tensors(ckpt_path)
+    if is_kohya_lora(tensors):
+        logger.info("Checkpoint is a kohya/AddNet LoRA file; importing")
+        tensors = from_kohya_format(
+            tensors, models.unet.keys(), models.clip.keys(),
+            te2_names=models.clip2.keys() if models.clip2 is not None else None)
     targets = {UNET_PREFIX: models.unet, TE_PREFIX: models.clip,
                VAE_PREFIX: models.vae}
+    if models.clip2 is not None:
+        targets[TE2_PREFIX] = models.clip2
     merged = {p: 0 for p in targets}
     for key, value in tensors.items():
         if key.startswith("unet_ema."):
