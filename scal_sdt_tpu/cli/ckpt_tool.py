@@ -82,11 +82,13 @@ def main():
                    "dir, transformers dir, or weights file) used when the "
                    "checkpoint has no TE weights. Defaults to the local "
                    "transformers cache of openai/clip-vit-large-patch14.")
-@click.option("--arch", type=click.Choice(["auto", "sd1", "sdxl"]),
+@click.option("--arch", type=click.Choice(["auto", "sd1", "sd2", "sdxl"]),
               default="auto", show_default=True,
-              help="UNet architecture for the LDM name bijection. 'auto' "
-                   "detects SDXL from add_embedding / deep mid-block keys; "
-                   "pass explicitly for partial (e.g. KV-only) checkpoints.")
+              help="Architecture for the LDM name bijection and the "
+                   "text-encoder namespace. 'auto' infers the UNet layout "
+                   "from the checkpoint's keys and detects the SD2 OpenCLIP "
+                   "tower by width; pass explicitly for partial (e.g. "
+                   "KV-only) checkpoints.")
 def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
           text_encoder_dtype: str, vae: Optional[Path], df_vae: Optional[str],
           vae_dtype: str, overwrite: bool, fmt: Optional[str], ema: bool,
@@ -108,6 +110,7 @@ def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
     unet_state = {k: v for k, v in unet_state.items() if ".lora_" not in k}
     from ..convert.sd_names import infer_unet_layout
 
+    user_arch = arch   # the explicit choice also decides the TE namespace
     inferred = infer_unet_layout(unet_state) if arch == "auto" else None
     if inferred is not None:
         # full state: index the bijection by the checkpoint's ACTUAL block
@@ -124,6 +127,9 @@ def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
                 for k in unet_state) else "sd1"
         map_config = UNetConfig.sdxl() if arch == "sdxl" else UNetConfig.sd15()
     unet_state = convert_unet_state_df_to_ldm(unet_state, map_config)
+    sd2_te = (user_arch == "sd2"
+              or (user_arch == "auto" and arch != "sdxl"
+                  and _looks_sd2_te(state)))
     unet_state = replace_prefix(unet_state, "", "model.diffusion_model.")
     ldm_state.update(cast_type(unet_state, unet_dtype))
 
@@ -165,6 +171,21 @@ def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
             te2 = {f"conditioner.embedders.1.model.{k}": v
                    for k, v in convert_transformers_text_to_openclip(te2).items()}
             ldm_state.update(cast_type(te2, text_encoder_dtype))
+    elif text_encoder and sd2_te:
+        # SD2.x single-file layout: the text tower lives under
+        # cond_stage_model.model.* in OpenCLIP naming (the inverse of what
+        # load_ldm_checkpoint converts on the way in)
+        from ..convert.sd_names import convert_transformers_text_to_openclip
+
+        te = replace_prefix(state, TE_CKPT_PREFIX)
+        te = {k: v for k, v in te.items() if ".lora_" not in k}
+        if not te:
+            logger.warning("Checkpoint lacks text-encoder weights; skipping "
+                           "--text-encoder (merge via `graft` instead)")
+        else:
+            te = {f"cond_stage_model.model.{k}": v
+                  for k, v in convert_transformers_text_to_openclip(te).items()}
+            ldm_state.update(cast_type(te, text_encoder_dtype))
     elif text_encoder:
         te_state = replace_prefix(state, TE_CKPT_PREFIX, "cond_stage_model.transformer.")
         te_state = {k: v for k, v in te_state.items() if ".lora_" not in k}
@@ -178,6 +199,14 @@ def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
 
     save_state_dict(ldm_state, output, fmt)
     logger.info(f"Wrote {len(ldm_state)} tensors to {output}")
+
+
+def _looks_sd2_te(state: dict) -> bool:
+    """SD2.x text tower heuristic: OpenCLIP-H width (1024) token embedding
+    in the checkpoint's text-encoder namespace."""
+    tok = state.get(
+        TE_CKPT_PREFIX + "text_model.embeddings.token_embedding.weight")
+    return tok is not None and int(np.asarray(tok).shape[1]) >= 1024
 
 
 def _pristine_clip_state(source: Optional[str]) -> dict:

@@ -223,3 +223,48 @@ def test_sd2_single_file_ldm_loads_and_encodes(tmp_path):
     want = clip_text_apply({k: jnp.asarray(v) for k, v in clip_tf.items()},
                            ids, clip_cfg, stop_at_layer=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_sd2_prune_emits_openclip_namespace(tmp_path):
+    """prune --text-encoder on an SD2-width checkpoint publishes the tower
+    under cond_stage_model.model.* in OpenCLIP naming, and it loads back
+    through the SD2 single-file path."""
+    import numpy as np
+    from click.testing import CliRunner
+
+    import jax
+    from scal_sdt_tpu.cli.ckpt_tool import main as ckpt_main
+    from scal_sdt_tpu.convert.sd_names import (
+        convert_openclip_text_to_transformers)
+    from scal_sdt_tpu.models.clip import CLIPTextConfig, init_clip_params
+    from scal_sdt_tpu.models.unet import UNetConfig, init_unet_params
+    from scal_sdt_tpu.utils.state import load_state_dict, save_state_dict
+
+    te_cfg = CLIPTextConfig(vocab_size=100, hidden_size=1024,
+                            intermediate_size=128, num_hidden_layers=2,
+                            num_attention_heads=16, hidden_act="gelu")
+    te = {k: np.asarray(v) for k, v in
+          init_clip_params(jax.random.PRNGKey(0), te_cfg).items()}
+    unet = {k: np.asarray(v) for k, v in
+            init_unet_params(jax.random.PRNGKey(1), UNetConfig.tiny()).items()}
+    state = {f"unet.{k}": v for k, v in unet.items()}
+    state.update({f"condition_model.encoder.{k}": v for k, v in te.items()})
+    ckpt = tmp_path / "train.safetensors"
+    save_state_dict(state, ckpt)
+
+    out = tmp_path / "sd2_ldm.safetensors"
+    res = CliRunner().invoke(ckpt_main, [
+        "prune", str(ckpt), str(out), "--text-encoder",
+        "--text-encoder-dtype", "fp32"])
+    assert res.exit_code == 0, res.output
+
+    ldm = load_state_dict(out)
+    assert any(k.startswith("cond_stage_model.model.transformer.resblocks.")
+               for k in ldm)
+    assert not any(k.startswith("cond_stage_model.transformer.") for k in ldm)
+    # tower converts back losslessly
+    oc = {k[len("cond_stage_model.model."):]: v for k, v in ldm.items()
+          if k.startswith("cond_stage_model.model.")}
+    back = convert_openclip_text_to_transformers(oc)
+    for k in te:
+        np.testing.assert_array_equal(back[k], te[k])
