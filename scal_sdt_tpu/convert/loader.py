@@ -209,10 +209,17 @@ def load_diffusers_dir(path: Path, vae_override: Optional[str] = None) -> Loaded
     _validate(clip, clip_param_shapes(clip_config), "text_encoder")
     if clip2 is not None:
         _validate(clip2, clip_param_shapes(clip2_config), "text_encoder_2")
-    if unet_config.addition_embed_type == "text_time" and clip2 is None:
-        raise ValueError(
-            "SDXL UNet (addition_embed_type=text_time) requires a "
-            "text_encoder_2/ directory with the pooled-projection tower")
+    if unet_config.addition_embed_type == "text_time":
+        if clip2 is None:
+            raise ValueError(
+                "SDXL UNet (addition_embed_type=text_time) requires a "
+                "text_encoder_2/ directory with the pooled-projection tower")
+        if clip2_config.projection_dim is None:
+            raise ValueError(
+                "text_encoder_2 has no projection head (projection_dim "
+                "missing from its config.json / no text_projection.weight): "
+                "the SDXL text_time conditioning needs the pooled projected "
+                "embedding")
     return LoadedModels(unet, unet_config, vae, vae_config, clip, clip_config,
                         schedule, clip2=clip2, clip2_config=clip2_config)
 
