@@ -271,8 +271,15 @@ def to_kohya_format(state: dict, prefix: str, fallback_alpha=None) -> dict:
 @click.option("--overwrite", is_flag=True)
 @click.option("--format", "fmt", type=click.Choice(SUPPORTED_FORMATS), default=None)
 @click.option("--dtype", type=click.Choice(list(DTYPE_MAP)), default="fp16")
+@click.option("--unet-naming", type=click.Choice(["auto", "diffusers", "ldm"]),
+              default="auto", show_default=True,
+              help="UNet module naming in the exported keys. kohya's SD1.x "
+                   "LoRAs use diffusers-style names (lora_unet_down_blocks_*) "
+                   "but its SDXL LoRAs use sgm/LDM-style "
+                   "(lora_unet_input_blocks_*); 'auto' picks by whether the "
+                   "checkpoint trains the second text tower.")
 def extract_lora_cmd(checkpoint: Path, output: Path, overwrite: bool,
-                     fmt: Optional[str], dtype: str):
+                     fmt: Optional[str], dtype: str, unet_naming: str):
     """Export trained LoRA factors in kohya/AddNet-compatible format."""
     check_overwrite(output, overwrite)
 
@@ -291,9 +298,19 @@ def extract_lora_cmd(checkpoint: Path, output: Path, overwrite: bool,
     state = load_state_dict(checkpoint)
     result = {}
     unet = replace_prefix(state, UNET_CKPT_PREFIX)
-    result.update(to_kohya_format(unet, "lora_unet", get_alpha()))
     te = replace_prefix(state, TE_CKPT_PREFIX)
     te2 = replace_prefix(state, TE2_CKPT_PREFIX)
+    if unet_naming == "auto":
+        unet_naming = "ldm" if te2 else "diffusers"
+    if unet_naming == "ldm":
+        # kohya's SDXL UNet is sgm-style: its LoRA keys flatten LDM module
+        # paths (lora_unet_input_blocks_4_1_...). Rename through the same
+        # architecture bijection used for checkpoint conversion.
+        from ..convert.sd_names import _apply_renames, unet_prefix_map
+
+        pairs = unet_prefix_map(UNetConfig.sdxl())
+        unet = {_apply_renames(k, pairs): v for k, v in unet.items()}
+    result.update(to_kohya_format(unet, "lora_unet", get_alpha()))
     if te2:
         # kohya SDXL convention: two towers exported as lora_te1_/lora_te2_
         result.update(to_kohya_format(te, "lora_te1", get_alpha()))

@@ -37,6 +37,25 @@ def _module_paths(param_names: Iterable[str]) -> dict[str, str]:
     return out
 
 
+def _unet_module_paths(param_names: Iterable[str]) -> dict[str, str]:
+    """UNet modules under BOTH naming dialects: diffusers-style flats
+    (kohya SD1.x LoRAs — kohya's SD UNet is diffusers') and LDM-style flats
+    (kohya SDXL LoRAs — kohya's SDXL UNet is sgm-style, so files carry
+    ``lora_unet_input_blocks_4_1_...``). Resolved through the same
+    architecture-driven bijection as checkpoint conversion."""
+    from .sd_names import _apply_renames, infer_unet_layout, unet_prefix_map
+
+    names = list(param_names)
+    out = _module_paths(names)
+    layout = infer_unet_layout(names)
+    if layout is not None:
+        pairs = unet_prefix_map(layout)
+        for flat, path in list(out.items()):
+            ldm_path = _apply_renames(path + ".", pairs)[:-1]
+            out.setdefault(ldm_path.replace(".", "_"), path)
+    return out
+
+
 def from_kohya_format(state: dict, unet_names: Iterable[str],
                       te_names: Iterable[str],
                       te2_names: Optional[Iterable[str]] = None) -> dict:
@@ -47,7 +66,7 @@ def from_kohya_format(state: dict, unet_names: Iterable[str],
     from ..training.step import TE2_PREFIX, TE_PREFIX, UNET_PREFIX
 
     maps = {
-        "lora_unet": (UNET_PREFIX, _module_paths(unet_names)),
+        "lora_unet": (UNET_PREFIX, _unet_module_paths(unet_names)),
         "lora_te1": (TE_PREFIX, _module_paths(te_names)),
         "lora_te": (TE_PREFIX, _module_paths(te_names)),
     }

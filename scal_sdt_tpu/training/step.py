@@ -165,8 +165,10 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
 
     batch keys (device arrays, fixed shapes per bucket):
       'latents' (B,h,w,4) pre-scaled  OR  'images' (B,H,W,3) in [-1,1]
-      'conds'   (B,L,768)             OR  'input_ids' (B,L) int32
+      'conds'   (B,L,D)               OR  'input_ids' (B,L) int32
       'uncond_ids' (1,L) int32 — empty-prompt ids (for uncond.cond='eos')
+      'pooled' (B,D2) — SDXL cache fast path (required with 'conds' there)
+      'size_cond' (B,4) int32 — SDXL per-image [orig_h, orig_w, top, left]
     """
     dt = spec.compute_dtype
     rng_latent, rng_uncond, rng_noise, rng_t, rng_lora = jax.random.split(rng, 5)

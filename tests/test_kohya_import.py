@@ -122,3 +122,34 @@ def test_sample_with_kohya_lora_changes_output(tmp_path):
     lora_img = sample_images(models.unet, models.vae, models.clip,
                              HashTokenizer(), ["x"], "", **kwargs)
     assert np.any(base_img != lora_img)
+
+
+def test_kohya_sdxl_ldm_naming_round_trip():
+    """kohya's SDXL files flatten LDM module paths (its SDXL UNet is
+    sgm-style): export renames through the bijection
+    (down_blocks.1.attentions.0 -> input_blocks.4.1), import resolves the
+    LDM flats back against the diffusers-named base model."""
+    from scal_sdt_tpu.cli.ckpt_tool import to_kohya_format
+    from scal_sdt_tpu.convert.sd_names import _apply_renames, unet_prefix_map
+    from scal_sdt_tpu.models.unet import UNetConfig, unet_param_shapes
+
+    cfg = UNetConfig.sdxl()
+    base_names = list(unet_param_shapes(cfg))
+    path = "down_blocks.1.attentions.0.transformer_blocks.0.attn1.to_q"
+    factors = {
+        f"{path}.lora_A": np.zeros((4, 640), np.float32),
+        f"{path}.lora_B": np.ones((640, 4), np.float32),
+        f"{path}.lora_alpha": np.asarray(4, np.int32),
+    }
+    pairs = unet_prefix_map(cfg)
+    renamed = {_apply_renames(k, pairs): v for k, v in factors.items()}
+    kohya = to_kohya_format(renamed, "lora_unet")
+    key = ("lora_unet_input_blocks_4_1_transformer_blocks_0_attn1_to_q"
+           ".lora_down.weight")
+    assert key in kohya, sorted(kohya)
+
+    back = from_kohya_format(kohya, base_names, [])
+    assert f"unet.{path}.lora_A" in back
+    np.testing.assert_array_equal(back[f"unet.{path}.lora_B"],
+                                  factors[f"{path}.lora_B"])
+    assert back[f"unet.{path}.lora_alpha"] == 4
