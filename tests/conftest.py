@@ -47,6 +47,7 @@ _SLOW_TESTS = {
     "test_openclip_conversion_round_trip",
     "test_kohya_round_trip_sd1",
     "test_sd2_prune_emits_openclip_namespace",
+    "test_arb_sdxl_training",
     "test_sample_with_kohya_lora_changes_output",
     "test_sdxl_sample_images_end_to_end",
     "test_sdxl_single_file_load",

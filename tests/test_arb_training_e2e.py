@@ -43,3 +43,22 @@ def test_arb_training_multiple_buckets(tmp_path):
     metrics = trainer.fit(max_steps_override=3)
     assert np.isfinite(metrics["train_loss"])
     assert trainer.global_step == 3
+
+
+def test_arb_sdxl_training(tmp_path):
+    """ARB buckets + the SDXL dual-encoder step: per-bucket shapes compile,
+    size_cond flows per image (non-square original sizes), loss finite."""
+    from helpers import tiny_sdxl_models
+
+    data = _mixed_aspect_dataset(tmp_path)
+    cfg = tiny_config(data, tmp_path / "out", **{
+        "aspect_ratio_bucket": {"enabled": True, "c_size": 1.5, "c_dim": 2,
+                                "c_div": 8, "max_aspect_error": 0.5},
+        "trainer": {"mesh": {"data": 1, "fsdp": 8}},
+    })
+    trainer = Trainer(cfg, tmp_path / "out" / "run", models=tiny_sdxl_models(),
+                      tokenizer=HashTokenizer())
+    batch = next(iter(trainer.pipeline))
+    assert "size_cond" in batch and batch["size_cond"].shape[1] == 4
+    metrics = trainer.fit(max_steps_override=2)
+    assert np.isfinite(metrics["train_loss"])
