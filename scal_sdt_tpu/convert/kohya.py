@@ -83,6 +83,9 @@ def from_kohya_format(state: dict, unet_names: Iterable[str],
             matched = True
             ckpt_prefix, paths = maps[kohya_prefix]
             rest = k[len(kohya_prefix) + 1:]
+            if "." not in rest:
+                unresolved.append(k)
+                break
             flat, leaf = rest.split(".", 1)
             if leaf not in _LEAF_MAP:
                 unresolved.append(k)
