@@ -39,6 +39,11 @@ _ADAM_NAMES = {"adam", "torch.optim.adam"}
 _SGD_NAMES = {"sgd", "torch.optim.sgd"}
 _LION_NAMES = {"lion", "lion_pytorch.lion", "bitsandbytes.optim.lion"}
 _ADAFACTOR_NAMES = {"adafactor", "transformers.optimization.adafactor"}
+# D-adaptation family: learning-rate-free optimizers the SD community plugs
+# into the reference via its dotted-name loader (modules/utils/activator.py:4-7)
+_PRODIGY_NAMES = {"prodigy", "prodigyopt.prodigy"}
+_DADAPT_NAMES = {"dadaptadam", "dadaptation.dadaptadam", "dadaptation.dadaptadamw",
+                 "dadaptation.experimental.dadaptadamw"}
 
 
 def lr_scale_coeff(config: Config, num_processes: int) -> float:
@@ -184,8 +189,10 @@ def _add_decayed_weights_lowp(weight_decay: float) -> optax.GradientTransformati
 
 def _group_transform(name: str, lr: float, betas: tuple[float, float], eps: float,
                      weight_decay: float, schedule: Schedule,
-                     moment_dtype: Optional[str] = None) -> optax.GradientTransformation:
+                     moment_dtype: Optional[str] = None,
+                     extra: Optional[dict] = None) -> optax.GradientTransformation:
     name = str(name).lower()
+    extra = extra or {}
     parts = []
     if name in _ADAMW_NAMES:
         if moment_dtype and str(moment_dtype) != "fp32":
@@ -230,6 +237,33 @@ def _group_transform(name: str, lr: float, betas: tuple[float, float], eps: floa
         parts.append(optax.clip_by_block_rms(1.0))
         if weight_decay:
             parts.append(optax.add_decayed_weights(weight_decay))
+    elif name in _PRODIGY_NAMES:
+        # learning-rate-free (Mishchenko & Defazio, arXiv:2306.06101); the
+        # community's prodigyopt.Prodigy hparam names map onto optax.contrib:
+        # d0 -> estim_lr0, d_coef -> estim_lr_coef. Note the state carries a
+        # copy of the initial params (params0) — negligible for LoRA, a full
+        # param-size HBM cost for full fine-tunes.
+        import optax.contrib as contrib
+
+        parts.append(contrib.prodigy(
+            learning_rate=lambda step: lr * schedule(step),
+            betas=betas,
+            beta3=(float(extra["beta3"]) if extra.get("beta3") is not None else None),
+            eps=eps,
+            estim_lr0=float(extra.get("d0", 1e-6)),
+            estim_lr_coef=float(extra.get("d_coef", 1.0)),
+            weight_decay=weight_decay,
+            safeguard_warmup=bool(extra.get("safeguard_warmup", False))))
+        return optax.chain(*parts)  # complete optimizer: lr/schedule/sign inside
+    elif name in _DADAPT_NAMES:
+        import optax.contrib as contrib
+
+        parts.append(contrib.dadapt_adamw(
+            learning_rate=lambda step: lr * schedule(step),
+            betas=betas, eps=eps,
+            estim_lr0=float(extra.get("d0", 1e-6)),
+            weight_decay=weight_decay))
+        return optax.chain(*parts)  # complete optimizer: lr/schedule/sign inside
     elif name in _SGD_NAMES:
         if weight_decay:
             parts.append(optax.add_decayed_weights(weight_decay))
@@ -264,9 +298,11 @@ def build_optimizer(config: Config,
         lr = float(over.get("lr", base["lr"])) * coeff
         wd = float(over.get("weight_decay", base["weight_decay"])) / coeff
         schedule = build_lr_schedule(config.optimizer, lr, steps_per_epoch)
+        extra = {k: v for k, v in base.items()
+                 if k not in ("lr", "betas", "eps", "weight_decay")}
         transforms[label] = _group_transform(
             config.optimizer.name, lr, base["betas"], float(base["eps"]), wd, schedule,
-            moment_dtype=moment_dtype)
+            moment_dtype=moment_dtype, extra=extra)
         if first_lr_fn is None:
             def lr_fn(step, _lr=lr, _s=schedule):
                 return _lr * _s(step)

@@ -135,3 +135,47 @@ def test_lion_and_adafactor_reduce_loss():
     big = {"w": jnp.zeros((256, 256), jnp.float32)}
     leaves = jax.tree.leaves(tx.init(big))
     assert all(l.size <= 256 for l in leaves if hasattr(l, "size"))
+
+
+def test_prodigy_and_dadapt_reduce_loss():
+    """Learning-rate-free optimizers (prodigy / D-adapt AdamW) optimize a
+    quadratic from lr=1.0 (the community convention), and the prodigyopt
+    hparam names (d0/d_coef/safeguard_warmup) are accepted."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scal_sdt_tpu.conf import Config, default, merge
+    from scal_sdt_tpu.training.optimizers import build_optimizer
+
+    params = {"w": jnp.asarray(np.random.RandomState(0).randn(16, 16), jnp.float32)}
+    target = jnp.zeros((16, 16), jnp.float32)
+
+    for name, extra in (("prodigy", {"d0": 1e-4, "d_coef": 1.0,
+                                     "safeguard_warmup": True}),
+                        ("prodigyopt.Prodigy", {}),
+                        ("dadaptation.DAdaptAdam", {"d0": 1e-4})):
+        cfg = merge(default(), Config({
+            "batch_size": 1,
+            "optimizer": {"name": name,
+                          "params": {"lr": 1.0, "beta1": 0.9, "beta2": 0.99,
+                                     "weight_decay": 1e-2, "eps": 1e-8, **extra},
+                          "lr_scale": {"enabled": False}},
+        }))
+        tx, _ = build_optimizer(cfg, {"w": "g"}, {}, steps_per_epoch=10,
+                                num_processes=1)
+        state = tx.init(params)
+        p = dict(params)
+        loss = lambda pp: jnp.mean((pp["w"] - target) ** 2)
+        l0 = float(loss(p))
+
+        @jax.jit
+        def step(p, state):
+            g = jax.grad(loss)(p)
+            up, state = tx.update(g, state, p)
+            return jax.tree.map(lambda a, b: a + b, p, up), state
+
+        # d (the adapted lr) ramps multiplicatively from d0; give it room
+        for _ in range(300):
+            p, state = step(p, state)
+        assert float(loss(p)) < l0 * 0.5, name
