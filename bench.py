@@ -105,16 +105,28 @@ def main():
     # trainer. SSDT_BENCH_PACK=0 measures the unpacked baseline.
     from scal_sdt_tpu.training.packing import build_pack_spec, pack, packed_labels
 
-    # SSDT_BENCH_PACK: 0 = off, 1 = slabs+stacks (default), slab = slabs only
-    pack_mode = os.environ.get("SSDT_BENCH_PACK", "1")
+    # SSDT_BENCH_PACK: 0 = off, slab = slabs only (default — measured 4.11
+    # steps/s bf16 / 3.73 int8 on v5e-1), 1 = slabs+stacks (measured 3.93:
+    # stacked big leaves defeat buffer donation; see PERF_NOTES.md)
+    pack_mode = os.environ.get("SSDT_BENCH_PACK", "slab")
     pack_spec = None
     if pack_mode != "0":
         pack_spec = build_pack_spec(trainable, labels,
                                     stack_big=pack_mode != "slab")
         if pack_spec.nontrivial:
             # params are device-resident: jit the pack (one program, no
-            # host round-trip, no per-leaf eager dispatch)
-            trainable = jax.jit(lambda p: pack(p, pack_spec))(trainable)
+            # host round-trip, no per-leaf eager dispatch). DONATE the
+            # unpacked leaves and drop every other reference to them —
+            # without this the fp32 originals (3.2 GB for SD1.5) stay
+            # resident behind the packed copy and OOM the 16 GB chip.
+            donated = dict(trainable)
+            trainable.clear()
+            for k in list(params):
+                if f"{UNET_PREFIX}.{k}" in donated:
+                    del params[k]
+            trainable = jax.jit(
+                lambda p: pack(p, pack_spec), donate_argnums=0)(donated)
+            del donated
             labels = {**{k: v for k, v in labels.items() if k in trainable},
                       **packed_labels(pack_spec)}
         else:

@@ -232,7 +232,7 @@ class Trainer:
                 trainable, labels,
                 min_slab_size=int(config.trainer.get("pack_min_size")
                                   or DEFAULT_MIN_SLAB_SIZE),
-                stack_big=bool(config.trainer.get("pack_stacks", True)))
+                stack_big=bool(config.trainer.get("pack_stacks", False)))
             if spec_candidate.nontrivial:
                 self.pack_spec = spec_candidate
                 trainable = pack(trainable, self.pack_spec, np_out=True)
