@@ -101,7 +101,15 @@ def _attention_core(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
         bq = pick_block(qh.shape[2], int(os.environ.get("SSDT_SPLASH_BQ", pref)))
         bk = pick_block(kh.shape[2], int(os.environ.get("SSDT_SPLASH_BKV", pref)))
         if bq is not None and bk is not None and min(bq, bk) >= 256:
-            # Independent backward-block knobs (round-3 sweep; default = fwd).
+            # Backward blocks tune independently of the forward pair (the
+            # dq/dkv kernels have different arithmetic intensity). Round-3
+            # sweep on v5e (lab/micro_splash_sweep.py, PERF_NOTES.md):
+            # isolated-kernel sweeps said block_q_dq=512 wins at L=1024,
+            # but IN-STEP it regresses the full bench 4.12 -> 3.84 steps/s
+            # (measured twice) — micro wins at the sub-ms level do not
+            # transfer when the kernel runs inside the big program. The fwd
+            # pair stays the default for all four bwd blocks; env knobs
+            # remain for sweeps.
             def _bwd(name: str, default: int, length: int) -> int | None:
                 return pick_block(length, int(os.environ.get(name, default)))
 
