@@ -62,13 +62,16 @@ def main():
     # SSDT_BENCH_EMA=1 measures BASELINE workload 4's in-step EMA cost
     # (reference default is ema.enabled: false, __reserved_default__.yaml:65).
     EMA = os.environ.get("SSDT_BENCH_EMA", "0") == "1"
+    # fp32 EMA + batch-8 no-remat measured OOM on the 16 GB chip; the bf16
+    # stochastic-rounded shadow (ema.dtype: bf16) is the config that fits.
+    EMA_DTYPE = os.environ.get("SSDT_BENCH_EMA_DTYPE", "bf16" if EMA else "fp32")
 
     config = merge(default(), Config({
         "batch_size": BATCH,
         "gradient_checkpointing": {"1": True, "0": False, "high": "high"}[
             os.environ.get("SSDT_BENCH_REMAT", "0")],
         "trainer": {"precision": "bf16", "mesh": {"data": None, "fsdp": 1}},
-        "ema": {"enabled": EMA, "decay": 0.9999},
+        "ema": {"enabled": EMA, "decay": 0.9999, "dtype": EMA_DTYPE},
         "optimizer": {
             "name": os.environ.get("SSDT_BENCH_OPT", "adamw"),
             "moment_dtype": os.environ.get("SSDT_BENCH_MOMENT", "bf16"),
@@ -147,8 +150,10 @@ def main():
     rng = np.random.RandomState(0)
     with mesh:
         trainable = shard_params(mesh, trainable)
-        state = init_train_state(jax.random.PRNGKey(1), trainable, tx,
-                                 ema_enabled=EMA, ema_decay=0.9999)
+        state = init_train_state(
+            jax.random.PRNGKey(1), trainable, tx, ema_enabled=EMA,
+            ema_decay=0.9999,
+            ema_dtype=jnp.bfloat16 if EMA_DTYPE == "bf16" else jnp.float32)
         frozen: dict = shard_params(mesh, frozen_unet) if frozen_unet else {}
         bs = batch_sharding(mesh)
         batch = {
@@ -167,11 +172,20 @@ def main():
             state, metrics = step_fn(state, frozen, batch)
             float(np.asarray(metrics["train_loss"]))
 
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            state, metrics = step_fn(state, frozen, batch)
-        loss = float(np.asarray(metrics["train_loss"]))
-        dt = time.perf_counter() - t0
+        # SSDT_BENCH_PROFILE=<dir>: capture an xplane trace of the timed
+        # loop (analyze with lab/xplane_ops.py). The trace adds per-step
+        # overhead; do not use the resulting wall-clock as the headline.
+        import contextlib
+
+        profile_dir = os.environ.get("SSDT_BENCH_PROFILE")
+        prof_ctx = (jax.profiler.trace(profile_dir) if profile_dir
+                    else contextlib.nullcontext())
+        with prof_ctx:
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                state, metrics = step_fn(state, frozen, batch)
+            loss = float(np.asarray(metrics["train_loss"]))
+            dt = time.perf_counter() - t0
         assert np.isfinite(loss), f"non-finite loss {loss}"
 
     steps_per_sec = ITERS / dt

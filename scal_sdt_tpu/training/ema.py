@@ -6,6 +6,14 @@ Reference: ``/root/reference/modules/ema.py`` with the trainer integration at
 shadow copy CPU<->GPU around every step to save VRAM; on TPU the shadow lives
 in HBM and updates inside the jitted train step — zero host traffic.
 
+Memory: a full-SD1.5 fp32 shadow is 3.4 GB, which does not fit next to a
+batch-8 no-remat step on a 16 GB chip (measured OOM). ``ema.dtype: bf16``
+halves that using **stochastic rounding**: the EMA delta per step is
+``(1-decay)*(p-s)`` ~ 1e-4 relative, far below the bf16 ulp (~4e-3 relative),
+so deterministic bf16 truncation would freeze the shadow entirely; rounding
+to bf16 with probability proportional to the residual keeps the EMA unbiased
+(E[shadow] equals the fp32 EMA — tests/test_ema_and_optim.py).
+
 State is a plain pytree {shadow: Params, num_updates: int32 scalar} so it
 shards/donates with the rest of the train state. Checkpoints store it under
 ``unet_ema.shadow_params.*`` exactly like the reference
@@ -14,6 +22,7 @@ shards/donates with the rest of the train state. Checkpoints store it under
 
 from __future__ import annotations
 
+import zlib
 from typing import NamedTuple, Optional
 
 import jax
@@ -28,24 +37,49 @@ class EMAState(NamedTuple):
     decay: jnp.ndarray        # float32 scalar
 
 
-def ema_init(params: Params, decay: float) -> EMAState:
+def stochastic_round_bf16(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """fp32 -> bf16 with stochastic rounding (unbiased: E[out] == x).
+
+    Adds a uniform 16-bit integer to the fp32 bit pattern and truncates the
+    low mantissa bits; a carry into the kept bits happens with probability
+    equal to the dropped fraction — the standard SR-by-integer-add trick.
+    (NaN/inf propagate unchanged: their truncated patterns stay NaN/inf
+    except at the very top of the finite range, irrelevant for weights.)
+    """
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    r = jax.random.bits(key, x.shape, jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        ((bits + r) >> 16).astype(jnp.uint16), jnp.bfloat16)
+
+
+def ema_init(params: Params, decay: float, dtype=jnp.float32) -> EMAState:
     # copy=True: astype on an already-fp32 array would alias the trainable
     # buffer, and aliased buffers break jit donation (donated twice).
     return EMAState(
-        shadow={k: jnp.array(v, jnp.float32, copy=True) for k, v in params.items()},
+        shadow={k: jnp.array(v, dtype, copy=True) for k, v in params.items()},
         num_updates=jnp.asarray(0, jnp.int32),
         decay=jnp.asarray(decay, jnp.float32),
     )
 
 
-def ema_update(state: EMAState, params: Params) -> EMAState:
+def ema_update(state: EMAState, params: Params,
+               rng: Optional[jax.Array] = None) -> EMAState:
     n = state.num_updates + 1
     decay = jnp.minimum(state.decay, (1.0 + n) / (10.0 + n))
     one_minus = 1.0 - decay
-    shadow = {
-        k: s - one_minus * (s - params[k].astype(s.dtype))
-        for k, s in state.shadow.items()
-    }
+    shadow = {}
+    for k, s in state.shadow.items():
+        new = s.astype(jnp.float32) - one_minus * (
+            s.astype(jnp.float32) - params[k].astype(jnp.float32))
+        if s.dtype == jnp.bfloat16:
+            if rng is None:
+                raise ValueError("bf16 EMA shadow requires an rng for "
+                                 "stochastic rounding")
+            new = stochastic_round_bf16(
+                new, jax.random.fold_in(rng, zlib.crc32(k.encode())))
+        else:
+            new = new.astype(s.dtype)
+        shadow[k] = new
     return EMAState(shadow=shadow, num_updates=n, decay=state.decay)
 
 

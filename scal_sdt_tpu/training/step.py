@@ -359,7 +359,9 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
         if ema_enabled and ema is not None:
             unet_trainable = {k: v for k, v in trainable.items()
                               if k.startswith(UNET_PREFIX + ".")}
-            ema = ema_update(ema, unet_trainable)
+            # distinct stream from the grad program's fold_in(rng, step)
+            ema_rng = jax.random.fold_in(jax.random.fold_in(rng, step), 1)
+            ema = ema_update(ema, unet_trainable, rng=ema_rng)
 
         lr = lr_fn(step)
         new_state = TrainState(
@@ -384,7 +386,8 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
 
 
 def init_train_state(rng: jax.Array, trainable: Params, tx: optax.GradientTransformation,
-                     ema_enabled: bool, ema_decay: float) -> TrainState:
+                     ema_enabled: bool, ema_decay: float,
+                     ema_dtype=jnp.float32) -> TrainState:
     # Jitted as one program — optimizer/EMA init is hundreds of zeros_like
     # leaves, and eager per-leaf dispatch is slow on remote-attached TPUs.
     def build(trainable, rng):
@@ -392,7 +395,7 @@ def init_train_state(rng: jax.Array, trainable: Params, tx: optax.GradientTransf
         if ema_enabled:
             unet_trainable = {k: v for k, v in trainable.items()
                               if k.startswith(UNET_PREFIX + ".")}
-            ema = ema_init(unet_trainable, ema_decay)
+            ema = ema_init(unet_trainable, ema_decay, dtype=ema_dtype)
         return TrainState(
             step=jnp.asarray(0, jnp.int32),
             trainable=trainable,

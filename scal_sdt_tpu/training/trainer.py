@@ -266,7 +266,10 @@ class Trainer:
         rng, state_rng = jax.random.split(rng)
         self.state = init_train_state(
             state_rng, trainable_dev, self.tx, ema_enabled,
-            float(config.ema.get("decay", 0.995)))
+            float(config.ema.get("decay", 0.995)),
+            ema_dtype=(jnp.bfloat16
+                       if str(config.ema.get("dtype", "fp32")) in
+                       ("bf16", "bfloat16") else jnp.float32))
         del trainable_dev  # donated into the state
 
         self.ckpt = CheckpointManager(self.run_dir, config.checkpoint)

@@ -179,3 +179,79 @@ def test_prodigy_and_dadapt_reduce_loss():
         for _ in range(300):
             p, state = step(p, state)
         assert float(loss(p)) < l0 * 0.5, name
+
+
+def test_stochastic_round_bf16_is_unbiased():
+    """E[SR(x)] == x, and SR lands only on the two bracketing bf16 values."""
+    from scal_sdt_tpu.training.ema import stochastic_round_bf16
+
+    x = jnp.full((20000,), 1.0 + 1e-3, jnp.float32)  # between bf16 ulps
+    out = stochastic_round_bf16(x, jax.random.PRNGKey(0))
+    vals = np.unique(np.asarray(out, np.float32))
+    lo, hi = np.float32(np.asarray(jnp.asarray(1.0 + 1e-3, jnp.bfloat16))), None
+    assert len(vals) == 2, vals  # the two neighbors only
+    mean = float(np.asarray(out, np.float32).mean())
+    # 20k draws: stderr of the mean ~ ulp/sqrt(N) ~ 5.5e-5
+    np.testing.assert_allclose(mean, 1.0 + 1e-3, atol=3e-4)
+    # exact bf16 values pass through deterministically
+    exact = jnp.asarray([0.5, -2.0, 0.0, 3.0], jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(stochastic_round_bf16(exact, jax.random.PRNGKey(1)),
+                   np.float32), np.asarray(exact))
+
+
+def test_bf16_sr_ema_tracks_fp32_ema():
+    """The deterministic bf16 truncation freezes (delta << ulp); SR tracks.
+
+    This is the property that makes ema.dtype: bf16 usable at decay 0.9999.
+    """
+    rng = np.random.RandomState(0)
+    p0 = rng.randn(4096).astype(np.float32)
+    drift = 0.02 * rng.randn(4096).astype(np.float32)
+
+    f32 = ema_init({"w": jnp.asarray(p0)}, decay=0.999)
+    b16 = ema_init({"w": jnp.asarray(p0)}, decay=0.999, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(42)
+
+    @jax.jit
+    def step(f32, b16, params, key):
+        key, k = jax.random.split(key)
+        return ema_update(f32, params), ema_update(b16, params, rng=k), key
+
+    params = p0
+    for i in range(400):
+        params = params + drift * 0.01
+        f32, b16, key = step(f32, b16, {"w": jnp.asarray(params)}, key)
+
+    ref = np.asarray(f32.shadow["w"])
+    got = np.asarray(b16.shadow["w"], np.float32)
+    # SR noise is ~ulp-scale per element; the tracking error must be small
+    # relative to how far the EMA actually moved from p0
+    moved = np.abs(ref - p0).mean()
+    assert moved > 1e-4  # the EMA did move
+    err = np.abs(got - ref).mean()
+    assert err < 0.02 * np.abs(ref).mean() + 3e-3, (err, moved)
+
+
+def test_bf16_ema_requires_rng():
+    state = ema_init({"w": jnp.ones((4,))}, decay=0.9, dtype=jnp.bfloat16)
+    try:
+        ema_update(state, {"w": jnp.zeros((4,))})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_init_train_state_ema_dtype_wiring():
+    import optax
+
+    from scal_sdt_tpu.training.step import UNET_PREFIX, init_train_state
+
+    trainable = {f"{UNET_PREFIX}.w": jnp.ones((8, 8), jnp.float32)}
+    tx = optax.adamw(1e-3)
+    state = init_train_state(jax.random.PRNGKey(0), dict(trainable), tx,
+                             ema_enabled=True, ema_decay=0.9999,
+                             ema_dtype=jnp.bfloat16)
+    assert state.ema.shadow[f"{UNET_PREFIX}.w"].dtype == jnp.bfloat16
+    # masters stay fp32
+    assert state.trainable[f"{UNET_PREFIX}.w"].dtype == jnp.float32
