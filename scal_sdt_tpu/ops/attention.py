@@ -54,11 +54,17 @@ def _attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "causal"))
 def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          num_heads: int, scale: float | None = None,
                          causal: bool = False) -> jnp.ndarray:
-    """q: (B, Lq, C); k, v: (B, Lk, C). Returns (B, Lq, C)."""
+    """q: (B, Lq, C); k, v: (B, Lk, C). Returns (B, Lq, C).
+
+    Deliberately NOT @jax.jit: the sharded dispatch bakes the active mesh
+    into the trace (shard_map carries its mesh), and jit's trace cache keys
+    on shapes only — a cached trace from one mesh would silently be reused
+    under another. Every production caller is already inside a jitted
+    program, so the decorator bought nothing.
+    """
     head_dim = q.shape[-1] // num_heads
     if scale is None:
         scale = float(head_dim) ** -0.5
@@ -70,7 +76,51 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _attention_core(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
                     scale: float, causal: bool) -> jnp.ndarray:
-    """(B, H, L, D) attention with automatic kernel dispatch."""
+    """(B, H, L, D) attention with automatic kernel dispatch.
+
+    On a multi-device mesh the chosen core runs under ``shard_map`` with
+    batch on the ``data`` axis and heads on the ``tensor`` axis (attention
+    is independent per (batch, head), so no collectives are needed): this
+    is what makes the Pallas kernel — a custom call GSPMD cannot partition —
+    correct on multi-chip meshes, and what shards heads under tensor
+    parallelism. The same wrapper is applied to the XLA core so the
+    virtual-CPU-mesh tests execute the exact sharding structure the TPU
+    pod path uses.
+    """
+    return _dispatch_sharded(qh, kh, vh, scale, causal)
+
+
+def _attention_sharding(qh: jnp.ndarray):
+    """(mesh, PartitionSpec) for (B, H, L, D) attention, or (None, None)."""
+    from ..parallel.mesh import DATA_AXIS, TENSOR_AXIS, active_mesh
+    from jax.sharding import PartitionSpec as P
+
+    mesh = active_mesh()
+    if mesh is None or mesh.devices.size <= 1:
+        return None, None
+    b, h = qh.shape[0], qh.shape[1]
+    d_size = mesh.shape.get(DATA_AXIS, 1)
+    t_size = mesh.shape.get(TENSOR_AXIS, 1)
+    d_axis = DATA_AXIS if d_size > 1 and b % d_size == 0 else None
+    t_axis = TENSOR_AXIS if t_size > 1 and h % t_size == 0 else None
+    if d_axis is None and t_axis is None:
+        return None, None
+    return mesh, P(d_axis, t_axis)
+
+
+def _dispatch_sharded(qh, kh, vh, scale: float, causal: bool) -> jnp.ndarray:
+    mesh, spec = _attention_sharding(qh)
+    if mesh is None:
+        return _dispatch(qh, kh, vh, scale, causal)
+    fn = jax.shard_map(
+        functools.partial(_dispatch, scale=scale, causal=causal),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False)
+    return fn(qh, kh, vh)
+
+
+def _dispatch(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
+              scale: float, causal: bool) -> jnp.ndarray:
     mask = None
     if causal:
         lq, lk = qh.shape[2], kh.shape[2]

@@ -104,13 +104,16 @@ def _component_of(key: str) -> str:
 def build_pack_spec(shapes: dict[str, Any],
                     labels: Optional[dict[str, str]] = None,
                     min_slab_size: int = DEFAULT_MIN_SLAB_SIZE,
-                    stack_big: bool = True) -> PackSpec:
+                    stack_big: bool = True,
+                    exclude: Optional[set] = None) -> PackSpec:
     """Group small float32 leaves into per-(component, group) slabs and big
     same-shape leaves into (N, *shape) stacks.
 
     `shapes`: key -> array or ShapeDtypeStruct (``.shape``/``.dtype``).
     `labels`: key -> optimizer group label (packs never span groups, so
     per-group lr/weight-decay stay exact). None -> single group.
+    `exclude`: keys that must keep their natural shape (tensor-parallel
+    weights: packing would erase their mesh-axis sharding).
     """
     def label_of(key: str) -> str:
         return labels.get(key, "default") if labels is not None else "default"
@@ -122,7 +125,7 @@ def build_pack_spec(shapes: dict[str, Any],
         v = shapes[key]
         shape = tuple(v.shape)
         size = int(np.prod(shape)) if shape else 1
-        if jnp.dtype(v.dtype) != jnp.float32:
+        if jnp.dtype(v.dtype) != jnp.float32 or (exclude and key in exclude):
             passthrough.append(key)
         elif size < min_slab_size:
             slab_key = f"{_component_of(key)}{SLAB_MARK}{label_of(key)}"

@@ -226,13 +226,24 @@ class Trainer:
         # trainer.param_packing: false.
         from .packing import DEFAULT_MIN_SLAB_SIZE, build_pack_spec, pack, packed_labels
 
+        # The mesh must exist before packing: tensor-parallel weights keep
+        # their natural shapes (packing a slab would erase their tensor-axis
+        # sharding), and ops.attention's shard_map wrapper reads the active
+        # mesh at trace time.
+        from ..parallel.mesh import TENSOR_AXIS, set_active_mesh, tp_param_names
+
+        self.mesh = mesh_from_config(config.trainer)
+        set_active_mesh(self.mesh)
+
         self.pack_spec = None
         if bool(config.trainer.get("param_packing", True)):
             spec_candidate = build_pack_spec(
                 trainable, labels,
                 min_slab_size=int(config.trainer.get("pack_min_size")
                                   or DEFAULT_MIN_SLAB_SIZE),
-                stack_big=bool(config.trainer.get("pack_stacks", False)))
+                stack_big=bool(config.trainer.get("pack_stacks", False)),
+                exclude=tp_param_names(trainable,
+                                       self.mesh.shape[TENSOR_AXIS]))
             if spec_candidate.nontrivial:
                 self.pack_spec = spec_candidate
                 trainable = pack(trainable, self.pack_spec, np_out=True)
@@ -246,8 +257,7 @@ class Trainer:
         self.tx, self.lr_fn = build_optimizer(
             config, labels, overrides, steps_per_epoch, jax.process_count())
 
-        # -- mesh + placement ----------------------------------------------
-        self.mesh = mesh_from_config(config.trainer)
+        # -- placement -------------------------------------------------------
         with self.mesh:
             self.frozen = shard_params(self.mesh, frozen)
             trainable_dev = shard_params(self.mesh, trainable)

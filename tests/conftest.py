@@ -80,3 +80,15 @@ def pytest_collection_modifyitems(config, items):
         name = item.name.split("[")[0]
         if module in _SLOW_MODULES or name in _SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+
+
+@pytest.fixture(autouse=True)
+def _reset_active_mesh_global():
+    """The Trainer registers its mesh in a module global (parallel.mesh.
+    set_active_mesh) for the attention shard_map wrapper; a mesh from one
+    test must never leak into the next (it would silently re-shard eager
+    attention calls)."""
+    yield
+    from scal_sdt_tpu.parallel.mesh import set_active_mesh
+
+    set_active_mesh(None)
