@@ -180,13 +180,25 @@ def main():
         profile_dir = os.environ.get("SSDT_BENCH_PROFILE")
         prof_ctx = (jax.profiler.trace(profile_dir) if profile_dir
                     else contextlib.nullcontext())
+        # SSDT_BENCH_CALLTIME=1: also print per-iteration ENQUEUE latency
+        # (python-side step_fn return time). If enqueue ≈ step time, the
+        # workload is host-dispatch-bound, not device-bound.
+        calltime = os.environ.get("SSDT_BENCH_CALLTIME") == "1"
         with prof_ctx:
             t0 = time.perf_counter()
+            enq = []
             for _ in range(ITERS):
+                t1 = time.perf_counter()
                 state, metrics = step_fn(state, frozen, batch)
+                enq.append(time.perf_counter() - t1)
             loss = float(np.asarray(metrics["train_loss"]))
             dt = time.perf_counter() - t0
         assert np.isfinite(loss), f"non-finite loss {loss}"
+        if calltime:
+            import sys
+
+            print(f"enqueue ms per iter: "
+                  f"{[round(x * 1e3, 1) for x in enq]}", file=sys.stderr)
 
     steps_per_sec = ITERS / dt
     headline = TARGET == "full_unet" and not TINY

@@ -293,17 +293,32 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
     return loss, {"train_loss": loss}
 
 
+# Trainable sets at or below this many elements get the single-program step
+# (grad + update fused). The split-program design exists for one reason: XLA's
+# scheduler pathologically serializes an 859M-param optimizer update fused
+# into the UNet backward (~50x, see below). Adapter-scale trainables (LoRA
+# ~6M, custom-diffusion KV ~19M) don't trip it, and the second dispatch is
+# pure overhead for them — on a relay-attached TPU each extra program costs
+# tens of ms of host latency per step (PERF_NOTES.md round-3 LoRA finding).
+FUSE_UPDATE_MAX_ELEMS = 64 * 1024 * 1024
+
+
 def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
                     lr_fn, ema_enabled: bool, donate: bool = True,
-                    pack_spec=None):
+                    pack_spec=None, fuse_update: Optional[bool] = None):
     """Build the train step: (state, frozen, batch) -> (state, metrics).
 
-    Two XLA programs, dispatched back-to-back: (1) forward/backward producing
-    bf16 gradients, (2) optimizer + EMA update. Keeping them separate avoids
-    an XLA scheduling pathology where fusing the 859M-param optimizer update
-    into the UNet backward program slowed the combined step ~50x (measured:
-    grad 340 ms + update 42 ms separately vs 17 s fused on v5e); the extra
-    dispatch costs microseconds.
+    Two XLA programs by default, dispatched back-to-back: (1) forward/backward
+    producing bf16 gradients, (2) optimizer + EMA update. Keeping them
+    separate avoids an XLA scheduling pathology where fusing the 859M-param
+    optimizer update into the UNet backward program slowed the combined step
+    ~50x (measured: grad 340 ms + update 42 ms separately vs 17 s fused on
+    v5e); the extra dispatch costs microseconds of device time.
+
+    For SMALL trainable sets (LoRA / custom-diffusion / TI) the pathology
+    doesn't apply and the extra dispatch dominates instead, so the first call
+    decides per `fuse_update` (None = auto by trainable size) and emits ONE
+    fused program.
     """
 
     dt = spec.compute_dtype
@@ -345,12 +360,8 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
         (loss, metrics), grads = grad_fn(compute, frozen, batch, rng_i, spec)
         return grads, metrics
 
-    # Donate the state parts (masters/moments/EMA update in place) AND the
-    # grads: unused for plain bf16-moment runs (one compile-time warning),
-    # but the int8 flat-buffer optimizer aliases the dead grads into its
-    # flat/stacked bf16 buffers — part of fitting int8 mode in 16 GB.
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 5) if donate else ())
-    def update_step(trainable: Params, opt_state, ema, step, rng, grads: Params):
+    def _apply_update(trainable: Params, opt_state, ema, step, rng,
+                      grads: Params):
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = jax.tree.map(
             lambda p, u: (p + u.astype(p.dtype)).astype(p.dtype),
@@ -373,7 +384,35 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
         )
         return new_state, lr
 
+    # Donate the state parts (masters/moments/EMA update in place) AND the
+    # grads: unused for plain bf16-moment runs (one compile-time warning),
+    # but the int8 flat-buffer optimizer aliases the dead grads into its
+    # flat/stacked bf16 buffers — part of fitting int8 mode in 16 GB.
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 5) if donate else ())
+    def update_step(trainable: Params, opt_state, ema, step, rng, grads: Params):
+        return _apply_update(trainable, opt_state, ema, step, rng, grads)
+
+    # One fused program: grad + optimizer + EMA. Same math as the split pair
+    # (grad_step's jaxpr is inlined); donates the whole state.
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def fused_step(state: TrainState, frozen: Params, batch: dict):
+        rng_i = jax.random.fold_in(state.rng, state.step)
+        compute = _cast_compute(state.trainable) if use_compute else state.trainable
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, metrics), grads = grad_fn(compute, frozen, batch, rng_i, spec)
+        new_state, lr = _apply_update(state.trainable, state.opt_state,
+                                      state.ema, state.step, state.rng, grads)
+        metrics = dict(metrics)
+        metrics["lr"] = lr
+        return new_state, metrics
+
     def train_step(state: TrainState, frozen: Params, batch: dict):
+        fuse = fuse_update
+        if fuse is None:
+            n = sum(int(v.size) for v in state.trainable.values())
+            fuse = n <= FUSE_UPDATE_MAX_ELEMS
+        if fuse:
+            return fused_step(state, frozen, batch)
         grads, metrics = grad_step(state.trainable, frozen, batch,
                                    state.rng, state.step)
         state, lr = update_step(state.trainable, state.opt_state, state.ema,
