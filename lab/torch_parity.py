@@ -274,3 +274,121 @@ def training_loss(params: dict, latents: torch.Tensor, noise: torch.Tensor,
     else:
         raise ValueError(prediction_type)
     return F.mse_loss(pred.float(), target.float())
+
+
+# --------------------------------------------------------------------------
+# MMDiT (SD3-family) oracle — independent torch implementation of the joint
+# transformer (arXiv:2403.03206; diffusers SD3Transformer2DModel naming),
+# consuming the SAME flat param dict as scal_sdt_tpu.models.mmdit.
+# --------------------------------------------------------------------------
+
+def _ln_na(x: torch.Tensor, eps: float = 1e-6) -> torch.Tensor:
+    return F.layer_norm(x.float(), (x.shape[-1],), eps=eps).to(x.dtype)
+
+
+def _adaln_zero(p: dict, name: str, x: torch.Tensor, temb: torch.Tensor):
+    emb = linear(p, f"{name}.linear", F.silu(temb))[:, None, :]
+    sh_a, sc_a, g_a, sh_m, sc_m, g_m = emb.chunk(6, dim=-1)
+    return _ln_na(x) * (1 + sc_a) + sh_a, g_a, sh_m, sc_m, g_m
+
+
+def _adaln_cont(p: dict, name: str, x: torch.Tensor, temb: torch.Tensor):
+    emb = linear(p, f"{name}.linear", F.silu(temb))[:, None, :]
+    sc, sh = emb.chunk(2, dim=-1)
+    return _ln_na(x) * (1 + sc) + sh
+
+
+def _ff_gelu_tanh(p: dict, name: str, x: torch.Tensor) -> torch.Tensor:
+    return linear(p, f"{name}.net.2",
+                  F.gelu(linear(p, f"{name}.net.0.proj", x),
+                         approximate="tanh"))
+
+
+def _qk_norm(p: dict, name: str, x: torch.Tensor, heads: int) -> torch.Tensor:
+    if f"{name}.weight" not in p:
+        return x
+    b, l, c = x.shape
+    d = c // heads
+    xh = x.reshape(b, l, heads, d).float()
+    xh = xh * torch.rsqrt(xh.pow(2).mean(-1, keepdim=True) + 1e-6)
+    return (xh * _t(p, f"{name}.weight").float()).reshape(b, l, c).to(x.dtype)
+
+
+def _mha(q: torch.Tensor, k: torch.Tensor, v: torch.Tensor,
+         heads: int) -> torch.Tensor:
+    b, lq, c = q.shape
+    d = c // heads
+    qh = q.reshape(b, lq, heads, d).transpose(1, 2)
+    kh = k.reshape(b, -1, heads, d).transpose(1, 2)
+    vh = v.reshape(b, -1, heads, d).transpose(1, 2)
+    out = F.scaled_dot_product_attention(qh, kh, vh)
+    return out.transpose(1, 2).reshape(b, lq, c)
+
+
+@torch.no_grad()
+def mmdit_forward(params: dict, latents: torch.Tensor, timesteps: torch.Tensor,
+                  context: torch.Tensor, pooled: torch.Tensor,
+                  config) -> torch.Tensor:
+    """latents NCHW; returns NCHW velocity prediction."""
+    p = params
+    b, _, h_img, w_img = latents.shape
+    ps = config.patch_size
+    h_p, w_p = h_img // ps, w_img // ps
+    heads = config.num_attention_heads
+
+    x = F.conv2d(latents, _t(p, "pos_embed.proj.weight"),
+                 _t(p, "pos_embed.proj.bias"), stride=ps)
+    x = x.flatten(2).transpose(1, 2)  # (B, L, D)
+    pos = _t(p, "pos_embed.pos_embed").reshape(
+        config.pos_embed_max_size, config.pos_embed_max_size, -1)
+    top = (config.pos_embed_max_size - h_p) // 2
+    left = (config.pos_embed_max_size - w_p) // 2
+    x = x + pos[top:top + h_p, left:left + w_p].reshape(1, h_p * w_p, -1)
+
+    t_freq = timestep_embedding(timesteps.float(), 256)
+    te = linear(p, "time_text_embed.timestep_embedder.linear_2",
+                F.silu(linear(p, "time_text_embed.timestep_embedder.linear_1",
+                              t_freq)))
+    ye = linear(p, "time_text_embed.text_embedder.linear_2",
+                F.silu(linear(p, "time_text_embed.text_embedder.linear_1",
+                              pooled)))
+    temb = te + ye
+    c = linear(p, "context_embedder", context)
+
+    for i in range(config.num_layers):
+        pre = f"transformer_blocks.{i}"
+        pre_only = i == config.num_layers - 1
+        n_h, g_a, sh_m, sc_m, g_m = _adaln_zero(p, f"{pre}.norm1", x, temb)
+        if pre_only:
+            n_c = _adaln_cont(p, f"{pre}.norm1_context", c, temb)
+        else:
+            n_c, cg_a, csh_m, csc_m, cg_m = _adaln_zero(
+                p, f"{pre}.norm1_context", c, temb)
+        q = _qk_norm(p, f"{pre}.attn.norm_q",
+                     linear(p, f"{pre}.attn.to_q", n_h), heads)
+        k = _qk_norm(p, f"{pre}.attn.norm_k",
+                     linear(p, f"{pre}.attn.to_k", n_h), heads)
+        v = linear(p, f"{pre}.attn.to_v", n_h)
+        qc = _qk_norm(p, f"{pre}.attn.norm_added_q",
+                      linear(p, f"{pre}.attn.add_q_proj", n_c), heads)
+        kc = _qk_norm(p, f"{pre}.attn.norm_added_k",
+                      linear(p, f"{pre}.attn.add_k_proj", n_c), heads)
+        vc = linear(p, f"{pre}.attn.add_v_proj", n_c)
+        lh = x.shape[1]
+        attn = _mha(torch.cat([q, qc], 1), torch.cat([k, kc], 1),
+                    torch.cat([v, vc], 1), heads)
+        a_h, a_c = attn[:, :lh], attn[:, lh:]
+        x = x + g_a * linear(p, f"{pre}.attn.to_out.0", a_h)
+        x = x + g_m * _ff_gelu_tanh(p, f"{pre}.ff",
+                                    _ln_na(x) * (1 + sc_m) + sh_m)
+        if not pre_only:
+            c = c + cg_a * linear(p, f"{pre}.attn.to_add_out", a_c)
+            c = c + cg_m * _ff_gelu_tanh(p, f"{pre}.ff_context",
+                                         _ln_na(c) * (1 + csc_m) + csh_m)
+
+    x = _adaln_cont(p, "norm_out", x, temb)
+    x = linear(p, "proj_out", x)
+    x = x.reshape(b, h_p, w_p, ps, ps, config.out_channels)
+    x = x.permute(0, 5, 1, 3, 2, 4).reshape(b, config.out_channels,
+                                            h_img, w_img)
+    return x

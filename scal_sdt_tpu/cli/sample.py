@@ -126,7 +126,18 @@ def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
         schedule=models.schedule,
         clip_stop_at_layer=int(clip_skip),
         clip2_config=models.clip2_config,
+        mmdit_config=models.mmdit_config,
+        t5_config=models.t5_config if models.t5 is not None else None,
     )
+    tokenizer_3 = None
+    if models.t5 is not None:
+        from ..text.tokenizer import resolve_t5_tokenizer
+
+        tokenizer_3 = resolve_t5_tokenizer(config)
+        if tokenizer_3 is None:
+            raise SystemExit(
+                "SD3 model has a T5 tower but no tokenizer_3/tokenizer.json "
+                "(pass `tokenizer_3:` via a config or remove text_encoder_3)")
 
     from PIL import Image
 
@@ -147,7 +158,8 @@ def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
             width=int(width), height=int(height), seed=int(seed) + rep,
             method=method, init_image=init_arr, strength=float(strength),
             guidance_rescale=float(guidance_rescale),
-            clip2_params=models.clip2)
+            clip2_params=models.clip2,
+            t5_params=models.t5, tokenizer_3=tokenizer_3)
         for i, img in enumerate(images):
             path = out / f"{i:02d}_{rep:02d}.png"
             Image.fromarray(img).save(path)

@@ -39,21 +39,32 @@ logger = logging.getLogger("loader")
 
 @dataclasses.dataclass
 class LoadedModels:
+    # `unet` holds the denoiser params — a UNet for SD1/SD2/SDXL, the MMDiT
+    # for SD3 (unet_config is None there and mmdit_config is set).
     unet: dict
-    unet_config: UNetConfig
+    unet_config: Optional[UNetConfig]
     vae: dict
     vae_config: VAEConfig
     clip: dict
     clip_config: CLIPTextConfig
     schedule: NoiseSchedule
-    # SDXL (dual-text-encoder) family: OpenCLIP bigG tower with projection
-    # (diffusers text_encoder_2/); None for SD1.x/2.x models.
+    # SDXL/SD3 (dual-text-encoder) family: OpenCLIP bigG tower with
+    # projection (diffusers text_encoder_2/); None for SD1.x/2.x models.
     clip2: Optional[dict] = None
     clip2_config: Optional[CLIPTextConfig] = None
+    # SD3 family: MMDiT architecture + optional T5 tower (text_encoder_3/).
+    mmdit_config: Optional[object] = None
+    t5: Optional[dict] = None
+    t5_config: Optional[object] = None
 
     @property
     def is_sdxl(self) -> bool:
-        return self.unet_config.addition_embed_type == "text_time"
+        return (self.unet_config is not None
+                and self.unet_config.addition_embed_type == "text_time")
+
+    @property
+    def is_sd3(self) -> bool:
+        return self.mmdit_config is not None
 
 
 def _validate(params: dict, shapes: dict, what: str):
@@ -126,6 +137,7 @@ def _vae_config_from_df(cfg: dict) -> VAEConfig:
         layers_per_block=cfg.get("layers_per_block", 2),
         norm_num_groups=cfg.get("norm_num_groups", 32),
         scaling_factor=cfg.get("scaling_factor", 0.18215),
+        shift_factor=float(cfg.get("shift_factor") or 0.0),
     )
 
 
@@ -172,6 +184,10 @@ def _clip_config_from_state(clip: dict,
 
 def load_diffusers_dir(path: Path, vae_override: Optional[str] = None) -> LoadedModels:
     path = Path(path)
+
+    # SD3 family: the denoiser lives in transformer/ (MMDiT), not unet/.
+    if not (path / "unet").is_dir() and (path / "transformer").is_dir():
+        return _load_sd3_diffusers_dir(path, vae_override)
 
     unet_dir = path / "unet"
     unet_config = _unet_config_from_df(_load_df_component_config(unet_dir))
@@ -222,6 +238,62 @@ def load_diffusers_dir(path: Path, vae_override: Optional[str] = None) -> Loaded
                 "embedding")
     return LoadedModels(unet, unet_config, vae, vae_config, clip, clip_config,
                         schedule, clip2=clip2, clip2_config=clip2_config)
+
+
+def _load_sd3_diffusers_dir(path: Path,
+                            vae_override: Optional[str]) -> LoadedModels:
+    """SD3-family diffusers dir: transformer/ (MMDiT) + 16-ch VAE + dual
+    projected CLIP towers + optional text_encoder_3/ (T5). Third model
+    family — beyond the torch reference's SD1.x scope entirely."""
+    from ..diffusion.flow import FlowSchedule
+    from ..models.mmdit import (
+        MMDiTConfig, mmdit_param_shapes, sincos_pos_embed_2d,
+    )
+    from ..models.t5 import T5Config, t5_param_shapes
+
+    tr_dir = path / "transformer"
+    mmdit_config = MMDiTConfig.from_json(_load_df_component_config(tr_dir))
+    mmdit = load_state_dict(_find_weights_file(tr_dir))
+    if "pos_embed.pos_embed" not in mmdit:
+        # non-persistent buffer in some exports; it is a fixed sincos table
+        mmdit["pos_embed.pos_embed"] = sincos_pos_embed_2d(
+            mmdit_config.inner_dim, mmdit_config.pos_embed_max_size)
+
+    vae_dir = Path(vae_override) if vae_override else path / "vae"
+    vae_config = _vae_config_from_df(_load_df_component_config(vae_dir))
+    vae = normalize_df_vae_attention(load_state_dict(_find_weights_file(vae_dir)))
+
+    clips = []
+    for sub in ("text_encoder", "text_encoder_2"):
+        d = path / sub
+        cfg = _clip_config_from_df(_load_df_component_config(d),
+                                   with_projection=True)
+        st = load_state_dict(_find_weights_file(d))
+        st.pop("text_model.embeddings.position_ids", None)
+        if cfg.projection_dim is None:
+            raise ValueError(f"SD3 {sub} must carry a text_projection head")
+        clips.append((st, cfg))
+
+    t5 = t5_config = None
+    te3_dir = path / "text_encoder_3"
+    if te3_dir.is_dir():
+        t5_config = T5Config.from_json(_load_df_component_config(te3_dir))
+        t5 = load_state_dict(_find_weights_file(te3_dir))
+        _validate(t5, t5_param_shapes(t5_config), "text_encoder_3")
+
+    sched_file = path / "scheduler" / "scheduler_config.json"
+    schedule = (FlowSchedule.from_diffusers_scheduler_config(
+        json.loads(sched_file.read_text()))
+        if sched_file.exists() else FlowSchedule())
+
+    _validate(mmdit, mmdit_param_shapes(mmdit_config), "transformer")
+    _validate(vae, vae_param_shapes(vae_config), "vae")
+    _validate(clips[0][0], clip_param_shapes(clips[0][1]), "text_encoder")
+    _validate(clips[1][0], clip_param_shapes(clips[1][1]), "text_encoder_2")
+    return LoadedModels(mmdit, None, vae, vae_config,
+                        clips[0][0], clips[0][1], schedule,
+                        clip2=clips[1][0], clip2_config=clips[1][1],
+                        mmdit_config=mmdit_config, t5=t5, t5_config=t5_config)
 
 
 def _load_sdxl_single_file(state: dict,

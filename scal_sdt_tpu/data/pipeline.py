@@ -128,16 +128,21 @@ class DataPipeline:
     """
 
     def __init__(self, dataset, sampler, batch_size: int, tokenizer=None,
-                 num_workers: int = 2, prefetch: int = 2):
+                 num_workers: int = 2, prefetch: int = 2, tokenizer_3=None):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
         self.tokenizer = tokenizer
+        # SD3's T5 tower tokenizes the same prompts separately (t5_ids)
+        self.tokenizer_3 = tokenizer_3
         self.num_workers = max(num_workers, 1)
         self.prefetch = max(prefetch, 1)
         self._uncond_ids = None
+        self._t5_uncond_ids = None
         if tokenizer is not None:
             self._uncond_ids = tokenizer([""])
+        if tokenizer_3 is not None:
+            self._t5_uncond_ids = tokenizer_3([""])
         self._epoch = 0
         self._skip_batches = 0
 
@@ -165,6 +170,9 @@ class DataPipeline:
         if prompts is not None and self.tokenizer is not None:
             batch["input_ids"] = self.tokenizer(prompts)
             batch["uncond_ids"] = self._uncond_ids
+            if self.tokenizer_3 is not None:
+                batch["t5_ids"] = self.tokenizer_3(prompts)
+                batch["t5_uncond_ids"] = self._t5_uncond_ids
         return batch
 
     def _index_batches(self) -> Iterator[list]:

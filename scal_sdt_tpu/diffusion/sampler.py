@@ -42,18 +42,27 @@ def ddim_timesteps(schedule: NoiseSchedule, num_inference_steps: int) -> np.ndar
 
 @dataclasses.dataclass(frozen=True)
 class SamplerSpec:
-    unet_config: UNetConfig
+    unet_config: Optional[UNetConfig]
     vae_config: VAEConfig
     clip_config: CLIPTextConfig
     schedule: NoiseSchedule
     clip_stop_at_layer: int = 1
     dtype: jnp.dtype = jnp.bfloat16
-    # SDXL second text tower (pooled projection); None for SD1.x/2.x
+    # SDXL/SD3 second text tower (pooled projection); None for SD1.x/2.x
     clip2_config: Optional[CLIPTextConfig] = None
+    # SD3 family: MMDiT denoiser + optional T5 tower; schedule is a
+    # FlowSchedule there and sampling always runs the flow-Euler ODE.
+    mmdit_config: Optional[object] = None
+    t5_config: Optional[object] = None
 
     @property
     def sdxl(self) -> bool:
-        return self.unet_config.addition_embed_type == "text_time"
+        return (self.unet_config is not None
+                and self.unet_config.addition_embed_type == "text_time")
+
+    @property
+    def sd3(self) -> bool:
+        return self.mmdit_config is not None
 
 
 def _cfg_combine(pred_u, pred_c, cfg_scale: float, guidance_rescale: float):
@@ -303,7 +312,57 @@ def dpmpp_2m_sample_latents(unet_params: Params, cond: jnp.ndarray,
     return x.astype(spec.dtype)
 
 
-SAMPLER_METHODS = ("ddim", "euler", "euler_a", "dpmpp_2m")
+@partial(jax.jit, static_argnames=("spec", "num_steps", "cfg_scale", "height",
+                                   "width", "batch", "t_start_index",
+                                   "guidance_rescale"))
+def flow_euler_sample_latents(mmdit_params: Params, cond: jnp.ndarray,
+                              uncond: jnp.ndarray, pooled: jnp.ndarray,
+                              pooled_u: jnp.ndarray, rng: jax.Array,
+                              spec: SamplerSpec, num_steps: int,
+                              cfg_scale: float, height: int, width: int,
+                              batch: int,
+                              init_latents: Optional[jnp.ndarray] = None,
+                              t_start_index: int = 0,
+                              guidance_rescale: float = 0.0) -> jnp.ndarray:
+    """Flow-matching Euler ODE for the SD3 family (diffusers
+    FlowMatchEulerDiscreteScheduler.step): x <- x + (sigma_next - sigma) * v,
+    with the CFG pair batched through the MMDiT like the DDPM samplers."""
+    from ..models.mmdit import mmdit_apply
+
+    f = 2 ** (len(spec.vae_config.block_out_channels) - 1)
+    h_lat, w_lat = height // f, width // f
+    c_lat = spec.mmdit_config.in_channels
+
+    sigmas = spec.schedule.sampling_sigmas(num_steps).astype(spec.dtype)
+    rng, noise_rng = jax.random.split(rng)
+    noise = jax.random.normal(noise_rng, (batch, h_lat, w_lat, c_lat),
+                              spec.dtype)
+    if init_latents is None:
+        x = noise  # sigma(0) = 1: pure noise
+    else:
+        sig0 = sigmas[t_start_index]
+        x = (1.0 - sig0) * init_latents.astype(spec.dtype) + sig0 * noise
+
+    cond_all = jnp.concatenate([uncond, cond], axis=0).astype(spec.dtype)
+    pooled_all = jnp.concatenate([pooled_u, pooled], axis=0).astype(spec.dtype)
+
+    def step(x, inp):
+        sig, sig_next = inp
+        t = jnp.full((2 * batch,), sig * spec.schedule.num_train_timesteps,
+                     jnp.float32)
+        x_pair = jnp.concatenate([x, x], axis=0)
+        v = mmdit_apply(mmdit_params, x_pair, t, cond_all, pooled_all,
+                        spec.mmdit_config)
+        v_u, v_c = jnp.split(v, 2, axis=0)
+        v = _cfg_combine(v_u, v_c, cfg_scale, guidance_rescale)
+        return x + (sig_next - sig) * v.astype(x.dtype), None
+
+    x, _ = jax.lax.scan(step, x, (sigmas[t_start_index:-1],
+                                  sigmas[t_start_index + 1:]))
+    return x.astype(spec.dtype)
+
+
+SAMPLER_METHODS = ("ddim", "euler", "euler_a", "dpmpp_2m", "flow_euler")
 
 
 def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
@@ -315,7 +374,9 @@ def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
                   init_image: Optional[np.ndarray] = None,
                   strength: float = 0.75,
                   guidance_rescale: float = 0.0,
-                  clip2_params: Optional[Params] = None) -> np.ndarray:
+                  clip2_params: Optional[Params] = None,
+                  t5_params: Optional[Params] = None,
+                  tokenizer_3=None) -> np.ndarray:
     """Full text->image path. Returns uint8 (B, H, W, 3).
 
     img2img: ``init_image`` is (H, W, 3) or (B, H, W, 3) float in [-1, 1];
@@ -337,7 +398,47 @@ def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
                       for k, v in p.items()}
     clip_c = cast(clip_params)
     added_cond = None
-    if spec.sdxl:
+    pooled_pair = None
+    if spec.sd3:
+        # SD3 conditioning (diffusers SD3 encode_prompt): both projected
+        # CLIP towers' penultimate states concat on features, zero-pad to
+        # the joint width, T5 states (when the tower exists) concat on
+        # sequence; pooled = concat of both projected pooled embeds.
+        if clip2_params is None:
+            raise ValueError("SD3 sampling requires clip2_params")
+        from ..models.clip import clip_text_encode_sdxl, eos_positions
+
+        clip2_c = cast(clip2_params)
+        t5_c = cast(t5_params) if t5_params is not None else None
+        if t5_c is not None and tokenizer_3 is None:
+            raise ValueError("SD3 model has a T5 tower: pass tokenizer_3")
+
+        def encode_sd3(ids_, prompts_):
+            penult1, pooled1 = clip_text_encode_sdxl(clip_c, ids_,
+                                                     spec.clip_config)
+            first_eos = eos_positions(ids_, spec.clip_config.eos_token_id)
+            pos = jnp.arange(ids_.shape[1])[None, :]
+            ids2 = jnp.where(pos > first_eos[:, None], 0, ids_)
+            penult2, pooled2 = clip_text_encode_sdxl(clip2_c, ids2,
+                                                     spec.clip2_config)
+            emb = jnp.concatenate([penult1, penult2], axis=-1)
+            joint = spec.mmdit_config.joint_attention_dim
+            emb = jnp.pad(emb, ((0, 0), (0, 0), (0, joint - emb.shape[-1])))
+            if t5_c is not None:
+                from ..models.t5 import t5_encoder_apply
+
+                t5_ids = jnp.asarray(tokenizer_3(prompts_))
+                t5_emb = t5_encoder_apply(t5_c, t5_ids, spec.t5_config)
+                emb = jnp.concatenate(
+                    [emb.astype(spec.dtype), t5_emb.astype(spec.dtype)],
+                    axis=1)
+            pooled = jnp.concatenate([pooled1, pooled2], axis=-1)
+            return emb.astype(spec.dtype), pooled.astype(spec.dtype)
+
+        cond, pooled_c = encode_sd3(ids, prompts)
+        uncond, pooled_u = encode_sd3(neg_ids, [negative_prompt] * batch)
+        pooled_pair = (pooled_c, pooled_u)
+    elif spec.sdxl:
         if clip2_params is None:
             raise ValueError("SDXL sampling requires clip2_params "
                              "(the text_encoder_2 tower)")
@@ -380,10 +481,23 @@ def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
         moments = encoder_apply(cast(vae_params), img.astype(spec.dtype),
                                 spec.vae_config)
         init_latents = sample_latents(moments, vae_rng,
-                                      spec.vae_config.scaling_factor)
+                                      spec.vae_config.scaling_factor,
+                                      spec.vae_config.shift_factor)
         t_start = min(int(steps * (1.0 - float(strength))), steps - 1)
 
-    if method == "ddim":
+    if spec.sd3:
+        # the SD3 family always samples with the flow-matching Euler ODE
+        # (diffusers routes every SD3 pipeline through FlowMatchEuler)
+        if method not in ("flow_euler", "ddim"):
+            raise ValueError(
+                f"SD3 models sample with method 'flow_euler' (got {method!r})")
+        pooled_c, pooled_u = pooled_pair
+        latents = flow_euler_sample_latents(
+            cast(unet_params), cond, uncond, pooled_c, pooled_u, rng, spec,
+            steps, float(cfg_scale), height, width, batch,
+            init_latents=init_latents, t_start_index=t_start,
+            guidance_rescale=float(guidance_rescale))
+    elif method == "ddim":
         latents = ddim_sample_latents(cast(unet_params), cond, uncond, rng, spec,
                                       steps, float(cfg_scale), height, width, batch,
                                       init_latents=init_latents,
@@ -410,7 +524,10 @@ def sample_images(unet_params: Params, vae_params: Params, clip_params: Params,
         raise ValueError(f"Unknown sampler method {method!r}; "
                          f"choose from {SAMPLER_METHODS}")
 
-    images = decoder_apply(cast(vae_params), latents / spec.vae_config.scaling_factor,
-                           spec.vae_config)
+    images = decoder_apply(
+        cast(vae_params),
+        latents / spec.vae_config.scaling_factor
+        + spec.vae_config.shift_factor,
+        spec.vae_config)
     images = (jnp.clip(images.astype(jnp.float32), -1, 1) + 1.0) * 127.5
     return np.asarray(images).astype(np.uint8)

@@ -86,6 +86,14 @@ class NoiseSchedule:
         v = table[t]
         return v.reshape(v.shape + (1,) * (ndim - v.ndim))
 
+    def sample_timesteps(self, rng, bsz: int) -> jnp.ndarray:
+        """Uniform integer draw over [0, N) — the reference's
+        torch.randint (modules/model.py:299). The flow schedule
+        (diffusion/flow.py) overrides this with the logit-normal density."""
+        import jax.random
+
+        return jax.random.randint(rng, (bsz,), 0, self.num_train_timesteps)
+
     def add_noise(self, x0: jnp.ndarray, noise: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         """q(x_t | x_0): sqrt(acp_t) * x0 + sqrt(1 - acp_t) * noise."""
         sa = self._gather(self.sqrt_alphas_cumprod().astype(x0.dtype), t, x0.ndim)

@@ -29,10 +29,19 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
+    # SD3-family VAEs subtract a latent mean before scaling:
+    # z = (z - shift_factor) * scaling_factor (diffusers AutoencoderKL).
+    shift_factor: float = 0.0
 
     @classmethod
     def sd15(cls) -> "VAEConfig":
         return cls()
+
+    @classmethod
+    def sd3(cls) -> "VAEConfig":
+        # stabilityai/stable-diffusion-3-medium vae/config.json
+        return cls(latent_channels=16, scaling_factor=1.5305,
+                   shift_factor=0.0609)
 
     @classmethod
     def tiny(cls) -> "VAEConfig":
@@ -106,14 +115,16 @@ def encoder_apply(params: Params, images: jnp.ndarray, config: VAEConfig) -> jnp
 
 
 def sample_latents(moments: jnp.ndarray, rng: jax.Array,
-                   scaling_factor: float = 0.18215) -> jnp.ndarray:
+                   scaling_factor: float = 0.18215,
+                   shift_factor: float = 0.0) -> jnp.ndarray:
     """Sample from the diagonal Gaussian and apply the SD latent scale
-    (the reference's `.latent_dist.sample() * 0.18215`, modules/model.py:263)."""
+    (the reference's `.latent_dist.sample() * 0.18215`, modules/model.py:263;
+    SD3 VAEs additionally subtract shift_factor first)."""
     mean, logvar = jnp.split(moments, 2, axis=-1)
     logvar = jnp.clip(logvar, -30.0, 20.0)
     std = jnp.exp(0.5 * logvar)
     noise = jax.random.normal(rng, mean.shape, dtype=mean.dtype)
-    return (mean + std * noise) * scaling_factor
+    return (mean + std * noise - shift_factor) * scaling_factor
 
 
 def decoder_apply(params: Params, latents: jnp.ndarray, config: VAEConfig) -> jnp.ndarray:

@@ -29,8 +29,12 @@ TENSOR_AXIS = "tensor"
 # fused head axis, for ff.net.0.proj the GEGLU hidden. Row-parallel (shard
 # the IN dim): consumes the sharded feature axis; XLA emits the psum.
 _TP_COL_SUFFIXES = (".to_q.weight", ".to_k.weight", ".to_v.weight",
-                    ".ff.net.0.proj.weight")
-_TP_ROW_SUFFIXES = (".to_out.0.weight", ".ff.net.2.weight")
+                    ".ff.net.0.proj.weight",
+                    # MMDiT (SD3) context-stream projections + context FF
+                    ".add_q_proj.weight", ".add_k_proj.weight",
+                    ".add_v_proj.weight", ".ff_context.net.0.proj.weight")
+_TP_ROW_SUFFIXES = (".to_out.0.weight", ".ff.net.2.weight",
+                    ".to_add_out.weight", ".ff_context.net.2.weight")
 
 
 def make_mesh(data: Optional[int] = None, fsdp: int = 1, tensor: int = 1,

@@ -84,6 +84,62 @@ class CLIPTokenizerWrapper(PromptTokenizer):
         return out.input_ids.astype(np.int32)
 
 
+class T5TokenizerWrapper(PromptTokenizer):
+    """SD3's third tokenizer (T5 sentencepiece-unigram), via the HF
+    `tokenizers` runtime over the model dir's ``tokenizer_3/tokenizer.json``.
+
+    T5 semantics: no BOS; EOS (</s>, id 1) appended by the file's own
+    post-processor; pad with id 0 to max_length; truncate. diffusers calls
+    this length max_sequence_length (77 in the SD3 fine-tuning recipes,
+    256 at inference) — config key ``t5_max_length``.
+    """
+
+    def __init__(self, tokenizer, max_length: int = MODEL_MAX_LENGTH,
+                 pad_id: int = 0):
+        self.tokenizer = tokenizer
+        self.max_length = int(max_length)
+        self.vocab_size = tokenizer.get_vocab_size()
+        tokenizer.enable_truncation(self.max_length)
+        tokenizer.enable_padding(length=self.max_length, pad_id=pad_id)
+
+    @classmethod
+    def from_file(cls, path, max_length: int = MODEL_MAX_LENGTH) -> "T5TokenizerWrapper":
+        from tokenizers import Tokenizer
+
+        return cls(Tokenizer.from_file(str(path)), max_length=max_length)
+
+    def add_tokens(self, tokens: list[str]) -> int:
+        n = self.tokenizer.add_tokens(list(tokens))
+        self.vocab_size = self.tokenizer.get_vocab_size()
+        return n
+
+    def __call__(self, prompts: Sequence[str]) -> np.ndarray:
+        encs = self.tokenizer.encode_batch(list(prompts))
+        return np.asarray([e.ids for e in encs], np.int32)
+
+
+def resolve_t5_tokenizer(config, t5_max_length: int = MODEL_MAX_LENGTH):
+    """tokenizer_3/tokenizer.json under the model dir (or ``tokenizer_3:``
+    config key). Returns None when absent — the caller decides whether T5
+    conditioning without a tokenizer is an error (live training) or fine
+    (cache-backed runs)."""
+    candidates = []
+    declared = config.get("tokenizer_3")
+    if declared:
+        candidates.append(Path(str(declared)))
+    model = config.get("model")
+    if model and Path(str(model)).is_dir():
+        candidates.append(Path(str(model)) / "tokenizer_3")
+    for cand in candidates:
+        f = cand / "tokenizer.json" if cand.is_dir() else cand
+        if f.exists():
+            logger.info(f"Loading T5 tokenizer from {f}")
+            return T5TokenizerWrapper.from_file(
+                f, max_length=int(config.get("t5_max_length")
+                                  or t5_max_length))
+    return None
+
+
 class HashTokenizer(PromptTokenizer):
     """Deterministic stand-in when no CLIP vocab exists on disk."""
 

@@ -122,8 +122,18 @@ def resolve_targets(component_targets: list, param_keys: Iterable[str]) -> Targe
             else:
                 selected = list(index)
 
+            # `optional: true` skips indexed paths with no parameters instead
+            # of erroring — for architectures where a submodule legitimately
+            # exists only on SOME siblings (e.g. the SD3 MMDiT's final
+            # pre_only block has no to_add_out/ff_context; lora_sd3.yaml).
+            # The default stays strict, matching the reference's torch
+            # getattr semantics (modules/utils/torch/module.py:14-63).
+            optional = bool(node.get("optional", False))
             for path in selected:
                 sub = prefix if path is None else _join(prefix, path)
+                if optional and index is not None \
+                        and not _module_param_keys(param_keys, sub):
+                    continue
                 if targets is not None:
                     walk(sub, targets, rc)
                 else:

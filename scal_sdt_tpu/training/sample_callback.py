@@ -41,6 +41,11 @@ class SampleCallback:
         clip_params = sub_params(merged, TE_PREFIX)
         clip2_params = (sub_params(merged, TE2_PREFIX)
                         if trainer.models.clip2 is not None else None)
+        from ..training.step import TE3_PREFIX
+
+        t5_params = (sub_params(merged, TE3_PREFIX)
+                     if getattr(trainer.models, "t5", None) is not None
+                     else None)
 
         spec = SamplerSpec(
             unet_config=trainer.models.unet_config,
@@ -49,6 +54,10 @@ class SampleCallback:
             schedule=trainer.models.schedule,
             clip_stop_at_layer=int(trainer.config.get("clip_stop_at_layer", 1)),
             clip2_config=trainer.models.clip2_config,
+            mmdit_config=trainer.models.mmdit_config,
+            t5_config=(trainer.models.t5_config
+                       if getattr(trainer.models, "t5", None) is not None
+                       else None),
         )
 
         save_dir = self.sample_dir / str(global_step)
@@ -77,6 +86,8 @@ class SampleCallback:
                         "guidance_rescale",
                         sampling.get("guidance_rescale", 0.0))),
                     clip2_params=clip2_params,
+                    t5_params=t5_params,
+                    tokenizer_3=trainer.pipeline.tokenizer_3,
                 )
                 images.extend(out)
                 remaining -= n

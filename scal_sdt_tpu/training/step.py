@@ -31,15 +31,17 @@ from .ema import EMAState, ema_init, ema_update
 
 # Checkpoint key namespaces, matching the reference's Lightning state-dict
 # layout (modules/model.py:378-391) so every ckpt tool is format-compatible.
-UNET_PREFIX = "unet"
+UNET_PREFIX = "unet"                       # the denoiser (UNet or SD3 MMDiT)
 TE_PREFIX = "condition_model.encoder"
-TE2_PREFIX = "condition_model.encoder_2"   # SDXL pooled-projection tower
+TE2_PREFIX = "condition_model.encoder_2"   # SDXL/SD3 pooled-projection tower
+TE3_PREFIX = "condition_model.encoder_3"   # SD3 T5 tower
 VAE_PREFIX = "vae"
 
 
 def component_prefix(component: str) -> str:
     return {"unet": UNET_PREFIX, "text_encoder": TE_PREFIX,
-            "text_encoder_2": TE2_PREFIX}[component]
+            "text_encoder_2": TE2_PREFIX,
+            "text_encoder_3": TE3_PREFIX}[component]
 
 
 class TrainState(NamedTuple):
@@ -77,17 +79,29 @@ class StepSpec:
     # concat(penult_1, penult_2) with pooled projected embeds + size ids
     # through the UNet's text_time addition embedding.
     clip2_config: Optional[CLIPTextConfig] = None
+    # SD3 family (rectified flow): the denoiser is an MMDiT, conditioning is
+    # concat(CLIP-L, CLIP-G) penultimate states zero-padded to the T5 width
+    # and (optionally) concatenated with T5 embeds along the sequence, plus
+    # the concatenated pooled projections (diffusers SD3 encode_prompt).
+    mmdit_config: Optional[Any] = None
+    t5_config: Optional[Any] = None
 
     @property
     def sdxl(self) -> bool:
-        return self.unet_config.addition_embed_type == "text_time"
+        return (self.unet_config is not None
+                and self.unet_config.addition_embed_type == "text_time")
+
+    @property
+    def sd3(self) -> bool:
+        return self.mmdit_config is not None
 
     @classmethod
-    def from_config(cls, config: Config, unet_config: UNetConfig,
+    def from_config(cls, config: Config, unet_config: Optional[UNetConfig],
                     clip_config: CLIPTextConfig, vae_config: VAEConfig,
                     train_text_encoder: bool,
                     schedule: Optional[NoiseSchedule] = None,
-                    clip2_config: Optional[CLIPTextConfig] = None) -> "StepSpec":
+                    clip2_config: Optional[CLIPTextConfig] = None,
+                    mmdit_config=None, t5_config=None) -> "StepSpec":
         precision = config.trainer.get("precision", "bf16")
         compute = jnp.float32 if str(precision) == "32" else jnp.bfloat16
         return cls(
@@ -122,6 +136,8 @@ class StepSpec:
                 (config.get("loss") or {}).get("multires_noise_discount")
                 or 0.25),
             clip2_config=clip2_config,
+            mmdit_config=mmdit_config,
+            t5_config=t5_config,
         )
 
 
@@ -179,13 +195,20 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
     else:
         vae_params = _merged_component(trainable, frozen, VAE_PREFIX, dt)
         moments = encoder_apply(vae_params, batch["images"].astype(dt), spec.vae_config)
-        latents = sample_latents(moments, rng_latent, spec.vae_config.scaling_factor)
+        latents = sample_latents(moments, rng_latent,
+                                 spec.vae_config.scaling_factor,
+                                 spec.vae_config.shift_factor)
 
     # --- conditioning ------------------------------------------------------
     added_cond = None
+    pooled_cond = None
     if "conds" in batch:
         conds = batch["conds"].astype(dt)
-        if spec.sdxl:
+        if spec.sd3:
+            # SD3 cache fast path: {id}.cond = full prompt embeds (clip
+            # padded + t5 seq-concat), {id}.pooled = concat pooled
+            pooled_cond = batch["pooled"].astype(dt)
+        elif spec.sdxl:
             # SDXL cache fast path: {id}.cond holds the concatenated
             # penultimate states, {id}.pooled the projected tower-2 embed
             f = 2 ** (len(spec.vae_config.block_out_channels) - 1)
@@ -195,6 +218,54 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
                 (latents.shape[0], 1))
             added_cond = {"text_embeds": batch["pooled"].astype(dt),
                           "time_ids": time_ids}
+    elif spec.sd3:
+        # SD3 triple-encoder conditioning (diffusers SD3 encode_prompt):
+        # both CLIP towers' penultimate states concat on features, zero-pad
+        # to the T5/joint width, then T5 states concat on SEQUENCE; pooled =
+        # concat of both projected pooled embeds. T5 is optional (the
+        # published medium checkpoints run with or without it).
+        te_params = _merged_component(trainable, frozen, TE_PREFIX, dt)
+        te_params[LORA_DROPOUT_RNG] = rng_lora
+        te2_params = _merged_component(trainable, frozen, TE2_PREFIX, dt)
+        te2_params[LORA_DROPOUT_RNG] = rng_lora
+        input_ids = batch["input_ids"]
+        if spec.uncond_enabled and spec.uncond_mode == "eos":
+            uncond_ids = jnp.broadcast_to(batch["uncond_ids"], input_ids.shape)
+            drop = jax.random.uniform(rng_uncond) < spec.uncond_p
+            input_ids = jnp.where(drop, uncond_ids, input_ids)
+        penult1, pooled1 = clip_text_encode_sdxl(te_params, input_ids,
+                                                 spec.clip_config)
+        from ..models.clip import eos_positions
+
+        first_eos = eos_positions(input_ids, spec.clip_config.eos_token_id)
+        pos = jnp.arange(input_ids.shape[1])[None, :]
+        ids2 = jnp.where(pos > first_eos[:, None], 0, input_ids)
+        penult2, pooled2 = clip_text_encode_sdxl(te2_params, ids2,
+                                                 spec.clip2_config)
+        clip_embed = jnp.concatenate([penult1, penult2], axis=-1)
+        joint_dim = spec.mmdit_config.joint_attention_dim
+        clip_embed = jnp.pad(
+            clip_embed, ((0, 0), (0, 0), (0, joint_dim - clip_embed.shape[-1])))
+        if spec.t5_config is not None:
+            from ..models.t5 import t5_encoder_apply
+
+            te3_params = _merged_component(trainable, frozen, TE3_PREFIX, dt)
+            t5_ids = batch["t5_ids"]
+            if spec.uncond_enabled and spec.uncond_mode == "eos" \
+                    and "t5_uncond_ids" in batch:
+                t5_un = jnp.broadcast_to(batch["t5_uncond_ids"], t5_ids.shape)
+                t5_ids = jnp.where(drop, t5_un, t5_ids)
+            t5_embed = t5_encoder_apply(te3_params, t5_ids,
+                                        spec.t5_config).astype(dt)
+            conds = jnp.concatenate([clip_embed.astype(dt), t5_embed], axis=1)
+        else:
+            conds = clip_embed.astype(dt)
+        pooled_cond = jnp.concatenate([pooled1, pooled2], axis=-1).astype(dt)
+        if spec.uncond_enabled and spec.uncond_mode == "zeros":
+            drop = jax.random.uniform(rng_uncond) < spec.uncond_p
+            conds = jnp.where(drop, jnp.zeros_like(conds), conds)
+            pooled_cond = jnp.where(drop, jnp.zeros_like(pooled_cond),
+                                    pooled_cond)
     elif spec.sdxl:
         # SDXL dual-encoder conditioning (diffusers SDXL encode_prompt):
         # both towers' raw penultimate hidden states concatenated on the
@@ -268,13 +339,22 @@ def compute_loss(trainable: Params, frozen: Params, batch: dict, rng: jax.Array,
         rng_noise, rng_mn = jax.random.split(rng_noise)
         noise = _multires_noise(rng_mn, noise, spec.multires_noise_iterations,
                                 spec.multires_noise_discount)
-    timesteps = jax.random.randint(rng_t, (bsz,), 0, spec.schedule.num_train_timesteps)
+    # DDPM: uniform integer draw; flow (SD3): logit-normal sigma draw —
+    # both live on the schedule object (diffusion/schedule.py, flow.py).
+    timesteps = spec.schedule.sample_timesteps(rng_t, bsz)
     noisy = spec.schedule.add_noise(latents, noise, timesteps)
 
     unet_params = _merged_component(trainable, frozen, UNET_PREFIX, dt)
     unet_params[LORA_DROPOUT_RNG] = rng_lora
-    pred = unet_apply(unet_params, noisy, timesteps, conds, spec.unet_config,
-                      remat=spec.remat, added_cond=added_cond)
+    if spec.sd3:
+        from ..models.mmdit import mmdit_apply
+
+        pred = mmdit_apply(unet_params, noisy, timesteps, conds, pooled_cond,
+                           spec.mmdit_config)
+    else:
+        pred = unet_apply(unet_params, noisy, timesteps, conds,
+                          spec.unet_config, remat=spec.remat,
+                          added_cond=added_cond)
 
     target = spec.schedule.training_target(latents, noise, timesteps)
     per_elem = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))

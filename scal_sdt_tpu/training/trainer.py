@@ -52,9 +52,11 @@ def _prefixed(params: dict, prefix: str) -> dict:
 
 class Trainer:
     def __init__(self, config: Config, run_dir: Path,
-                 models=None, tokenizer=None):
+                 models=None, tokenizer=None, tokenizer_3=None):
         """`models`: optional pre-loaded LoadedModels (tests inject random
-        tiny models here; the CLI loads real weights)."""
+        tiny models here; the CLI loads real weights). `tokenizer_3`: the T5
+        tokenizer for SD3 models with a text_encoder_3 tower (resolved from
+        the model dir when omitted)."""
         self.config = config
         self.run_dir = Path(run_dir)
 
@@ -161,16 +163,22 @@ class Trainer:
         all_params.update(_prefixed(component_params["text_encoder"], TE_PREFIX))
         all_params.update(_prefixed(dict(models.vae), VAE_PREFIX))
         if models.clip2 is not None:
-            # SDXL tower 2 trains through the same optim-target engine
+            # SDXL/SD3 tower 2 trains through the same optim-target engine
             # (spec section `text_encoder_2:`); frozen when unaddressed
             from .step import TE2_PREFIX
 
             all_params.update(_prefixed(component_params["text_encoder_2"],
                                         TE2_PREFIX))
-        if models.is_sdxl and config.data.get("cache"):
-            # an SDXL cache must carry {id}.pooled next to {id}.cond (the
-            # text_time embedding needs the pooled tower-2 state); a cache
-            # built against an SD1.x model cannot feed an SDXL UNet
+        if getattr(models, "t5", None) is not None:
+            # SD3's T5 tower is conditioning-only here (frozen — the
+            # published SD3 fine-tuning recipes keep T5 frozen)
+            from .step import TE3_PREFIX
+
+            all_params.update(_prefixed(dict(models.t5), TE3_PREFIX))
+        if (models.is_sdxl or models.is_sd3) and config.data.get("cache"):
+            # an SDXL/SD3 cache must carry {id}.pooled next to {id}.cond
+            # (the pooled text embedding feeds the time/adaLN conditioning);
+            # a cache built against an SD1.x model cannot feed these models
             from ..data.datasets import LatentCache
 
             probe = LatentCache(config.data.cache)
@@ -178,9 +186,9 @@ class Trainer:
             if first is not None and probe.cond(int(first)) is not None \
                     and probe.pooled(int(first)) is None:
                 raise ValueError(
-                    "SDXL training needs a cache with pooled embeddings "
+                    "SDXL/SD3 training needs a cache with pooled embeddings "
                     "({id}.pooled): rebuild it with cache.py against this "
-                    "SDXL model")
+                    "model")
         for k, v in all_params.items():
             arr = np.asarray(v)
             if np.issubdtype(arr.dtype, np.floating) or str(arr.dtype) == "bfloat16":
@@ -195,9 +203,22 @@ class Trainer:
         sampler = get_sampler(dataset, config,
                               jax.process_count(), jax.process_index())
         num_workers = config.get("num_workers")
+        # SD3 with a T5 tower needs the third tokenizer for live text
+        # encoding; cache-backed runs never tokenize.
+        if tokenizer_3 is None and getattr(models, "t5", None) is not None:
+            from ..text.tokenizer import resolve_t5_tokenizer
+
+            tokenizer_3 = resolve_t5_tokenizer(config)
+            if tokenizer_3 is None and not config.data.get("cache"):
+                raise ValueError(
+                    "SD3 model has a T5 tower (text_encoder_3) but no "
+                    "tokenizer_3/tokenizer.json was found: provide one "
+                    "(config key `tokenizer_3:`), train from a condition "
+                    "cache, or drop the T5 tower from the model dir")
         self.pipeline = DataPipeline(
             dataset, sampler, config.batch_size, self.tokenizer,
-            num_workers=num_workers if num_workers is not None else 4)
+            num_workers=num_workers if num_workers is not None else 4,
+            tokenizer_3=tokenizer_3)
         steps_per_epoch = max(len(self.pipeline), 1)
         self.steps_per_epoch = steps_per_epoch
 
@@ -266,7 +287,10 @@ class Trainer:
         self.spec = StepSpec.from_config(
             config, models.unet_config, models.clip_config, models.vae_config,
             self.train_text_encoder, schedule=models.schedule,
-            clip2_config=models.clip2_config)
+            clip2_config=models.clip2_config,
+            mmdit_config=models.mmdit_config,
+            t5_config=(models.t5_config
+                       if getattr(models, "t5", None) is not None else None))
         ema_enabled = bool(config.ema.get("enabled", False))
         self.train_step = make_train_step(
             self.spec, self.tx, self.lr_fn, ema_enabled,
@@ -347,8 +371,8 @@ class Trainer:
             if k in ("ids", "prompts"):
                 continue
             arr = np.asarray(v)
-            if k == "uncond_ids":
-                out[k] = jax.device_put(arr)
+            if k in ("uncond_ids", "t5_uncond_ids"):
+                out[k] = jax.device_put(arr)  # (1, L): replicated
             else:
                 out[k] = jax.device_put(arr, bs)
         return out

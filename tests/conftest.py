@@ -71,6 +71,9 @@ _SLOW_TESTS = {
     "test_ti_rejects_cached_conditions",
     "test_sample_cli_writes_images",
     "test_sample_cli_overlays_training_checkpoint",
+    "test_sd3_trainer_end_to_end",
+    "test_sd3_sampling_end_to_end",
+    "test_sd3_train_step",
 }
 
 
