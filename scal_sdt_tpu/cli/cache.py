@@ -94,8 +94,18 @@ def build_local_shard(config: Config, models, tokenizer, *,
         logger.info(f"Rank {global_rank}: padding shard of {len(sampler)} "
                     f"entries with {pad} repeats to fill {n_batches} batches")
     sampler = _PaddedSampler(sampler, target)
+    tokenizer_3 = None
+    if getattr(models, "t5", None) is not None and not no_conds:
+        from ..text.tokenizer import resolve_t5_tokenizer
+
+        tokenizer_3 = resolve_t5_tokenizer(config)
+        if tokenizer_3 is None:
+            raise ValueError(
+                "SD3 model has a T5 tower: caching conditions needs "
+                "tokenizer_3/tokenizer.json (or pass --no-conds)")
     pipeline = DataPipeline(dataset, sampler, batch_size, tokenizer,
-                            num_workers=config.get("num_workers") or 4)
+                            num_workers=config.get("num_workers") or 4,
+                            tokenizer_3=tokenizer_3)
 
     vae_params = {k: jnp.asarray(v) for k, v in models.vae.items()}
     clip_params = {k: jnp.asarray(v) for k, v in models.clip.items()}
@@ -104,9 +114,39 @@ def build_local_shard(config: Config, models, tokenizer, *,
     @jax.jit
     def encode_latents(images, rng):
         moments = encoder_apply(vae_params, images, models.vae_config)
-        return sample_latents(moments, rng, models.vae_config.scaling_factor)
+        return sample_latents(moments, rng, models.vae_config.scaling_factor,
+                              models.vae_config.shift_factor)
 
-    if models.is_sdxl:
+    if models.is_sd3:
+        from ..models.clip import clip_text_encode_sdxl, eos_positions
+
+        clip2_params = {k: jnp.asarray(v) for k, v in models.clip2.items()}
+        t5_params = ({k: jnp.asarray(v) for k, v in models.t5.items()}
+                     if models.t5 is not None else None)
+
+        @jax.jit
+        def encode_conds(input_ids, t5_ids=None):
+            # SD3 conditioning, matching training/step.py's live path:
+            # concat of both projected towers' penultimate states zero-padded
+            # to the joint width (+ T5 seq-concat), pooled concat
+            penult1, pooled1 = clip_text_encode_sdxl(clip_params, input_ids,
+                                                     models.clip_config)
+            first_eos = eos_positions(input_ids,
+                                      models.clip_config.eos_token_id)
+            pos = jnp.arange(input_ids.shape[1])[None, :]
+            ids2 = jnp.where(pos > first_eos[:, None], 0, input_ids)
+            penult2, pooled2 = clip_text_encode_sdxl(clip2_params, ids2,
+                                                     models.clip2_config)
+            emb = jnp.concatenate([penult1, penult2], axis=-1)
+            joint = models.mmdit_config.joint_attention_dim
+            emb = jnp.pad(emb, ((0, 0), (0, 0), (0, joint - emb.shape[-1])))
+            if t5_params is not None:
+                from ..models.t5 import t5_encoder_apply
+
+                t5_emb = t5_encoder_apply(t5_params, t5_ids, models.t5_config)
+                emb = jnp.concatenate([emb, t5_emb], axis=1)
+            return emb, jnp.concatenate([pooled1, pooled2], axis=-1)
+    elif models.is_sdxl:
         from ..models.clip import clip_text_encode_sdxl, eos_positions
 
         clip2_params = {k: jnp.asarray(v) for k, v in models.clip2.items()}
@@ -144,7 +184,11 @@ def build_local_shard(config: Config, models, tokenizer, *,
                 np.asarray(encode_latents(jnp.asarray(batch["images"]), sub)))
             id_batches.append(np.asarray(batch["ids"], np.int64))
             if group == 0 and not no_conds and "input_ids" in batch:
-                c, p = encode_conds(jnp.asarray(batch["input_ids"]))
+                if models.is_sd3 and "t5_ids" in batch:
+                    c, p = encode_conds(jnp.asarray(batch["input_ids"]),
+                                        jnp.asarray(batch["t5_ids"]))
+                else:
+                    c, p = encode_conds(jnp.asarray(batch["input_ids"]))
                 cond_batches.append(np.asarray(c))
                 if p is not None:
                     pooled_batches.append(np.asarray(p))

@@ -74,6 +74,7 @@ _SLOW_TESTS = {
     "test_sd3_trainer_end_to_end",
     "test_sd3_sampling_end_to_end",
     "test_sd3_train_step",
+    "test_sd3_cache_build_and_cached_training",
 }
 
 

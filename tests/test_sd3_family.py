@@ -243,3 +243,61 @@ def test_sd3_lora_target_resolution_and_step():
     lora = init_lora_params(jax.random.PRNGKey(0), models.unet,
                             res["unet"].lora)
     assert any(k.endswith(".lora_A") for k in lora)
+
+
+def test_sd3_cache_build_and_cached_training(tmp_path):
+    """cache.py's builder writes SD3 conds (clip-padded + t5) + pooled;
+    the trainer's cached fast path consumes them."""
+    from helpers import (
+        make_image_dataset, make_t5_tokenizer_file, tiny_config,
+        tiny_sd3_models, write_diffusers_dir,
+    )
+    import json
+
+    from safetensors.numpy import save_file
+
+    from scal_sdt_tpu.cli.cache import assemble_cache, build_local_shard
+    from scal_sdt_tpu.convert.loader import load_diffusers_dir
+    from scal_sdt_tpu.text.tokenizer import HashTokenizer
+    from scal_sdt_tpu.training.trainer import Trainer
+
+    model_dir = write_diffusers_dir(tiny_sd3_models(), tmp_path / "sd3")
+    make_t5_tokenizer_file(model_dir / "tokenizer_3" / "tokenizer.json")
+    data = make_image_dataset(tmp_path, n=4, size=(16, 16))
+    cache_path = tmp_path / "cache.safetensors"
+    cfg = tiny_config(data, tmp_path / "out", model=str(model_dir),
+                      batch_size=2, data={"resolution": 16,
+                                          "cache": str(cache_path)})
+    models = load_diffusers_dir(model_dir)
+    shard = build_local_shard(cfg, models, HashTokenizer(), no_conds=False,
+                              aug_group_size=1, batch_size=2, world_size=1,
+                              global_rank=0)
+    assert shard["pooled"] is not None
+    # conds = 77 clip tokens padded to joint width + 77 t5 tokens
+    assert shard["conds"].shape[1:] == (
+        154, models.mmdit_config.joint_attention_dim)
+    cache, metadata = assemble_cache(shard)
+    save_file(cache, str(cache_path), metadata={"json": json.dumps(metadata)})
+
+    trainer = Trainer(cfg, tmp_path / "out" / "run", models=models,
+                      tokenizer=HashTokenizer())
+    metrics = trainer.fit(max_steps_override=2)
+    assert np.isfinite(metrics["train_loss"])
+
+
+def test_sd3_kohya_lora_export_naming():
+    """SD3 LoRA factors export through the generic kohya path with
+    diffusers-flat names (lora_unet_transformer_blocks_*), the dialect
+    kohya's sd-scripts SD3 branch reads."""
+    from scal_sdt_tpu.cli.ckpt_tool import to_kohya_format
+
+    state = {
+        "transformer_blocks.0.attn.to_q.lora_A": np.zeros((4, 16), np.float32),
+        "transformer_blocks.0.attn.to_q.lora_B": np.zeros((16, 4), np.float32),
+        "transformer_blocks.0.attn.add_q_proj.lora_A": np.zeros((4, 16), np.float32),
+        "transformer_blocks.0.attn.add_q_proj.lora_B": np.zeros((16, 4), np.float32),
+    }
+    out = to_kohya_format(state, "lora_unet", fallback_alpha=1)
+    assert "lora_unet_transformer_blocks_0_attn_to_q.lora_down.weight" in out
+    assert "lora_unet_transformer_blocks_0_attn_add_q_proj.lora_up.weight" in out
+    assert "lora_unet_transformer_blocks_0_attn_to_q.alpha" in out
