@@ -82,7 +82,8 @@ def main():
                    "dir, transformers dir, or weights file) used when the "
                    "checkpoint has no TE weights. Defaults to the local "
                    "transformers cache of openai/clip-vit-large-patch14.")
-@click.option("--arch", type=click.Choice(["auto", "sd1", "sd2", "sdxl"]),
+@click.option("--arch", type=click.Choice(["auto", "sd1", "sd2", "sdxl",
+                                           "sd3"]),
               default="auto", show_default=True,
               help="Architecture for the LDM name bijection and the "
                    "text-encoder namespace. 'auto' infers the UNet layout "
@@ -108,6 +109,16 @@ def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
     else:
         unet_state = replace_prefix(state, UNET_CKPT_PREFIX)
     unet_state = {k: v for k, v in unet_state.items() if ".lora_" not in k}
+    if arch == "sd3" or (arch == "auto"
+                         and "pos_embed.proj.weight" in unet_state):
+        # SD3 (MMDiT): there is no LDM/WebUI single-file bijection here yet —
+        # publish the denoiser in the diffusers transformer/ layout (drop the
+        # file into <model>/transformer/diffusion_pytorch_model.safetensors).
+        out_state = cast_type(unet_state, unet_dtype)
+        save_state_dict(out_state, output, fmt)
+        logger.info(f"Saved SD3 transformer ({len(out_state)} tensors, "
+                    f"{unet_dtype}) in diffusers layout to {output}")
+        return
     from ..convert.sd_names import infer_unet_layout
 
     user_arch = arch   # the explicit choice also decides the TE namespace

@@ -70,7 +70,17 @@ def main(config_file: IO[str]):
         clip_config=models.clip_config, schedule=models.schedule,
         clip_stop_at_layer=int(config.get("clip_stop_at_layer", 1)),
         clip2_config=models.clip2_config,
+        mmdit_config=models.mmdit_config,
+        t5_config=models.t5_config if models.t5 is not None else None,
     )
+    tokenizer_3 = None
+    if models.t5 is not None:
+        from ..text.tokenizer import resolve_t5_tokenizer
+
+        tokenizer_3 = resolve_t5_tokenizer(config)
+        if tokenizer_3 is None:
+            raise SystemExit(
+                "SD3 model has a T5 tower but no tokenizer_3/tokenizer.json")
 
     arb_config = config.aspect_ratio_bucket
     for i, concept in enumerate(config.data.concepts):
@@ -109,6 +119,7 @@ def main(config_file: IO[str]):
                     method=autogen.get("method", "ddim"),
                     guidance_rescale=float(autogen.get("guidance_rescale", 0.0)),
                     clip2_params=models.clip2,
+                    t5_params=models.t5, tokenizer_3=tokenizer_3,
                     width=w, height=h,
                     rng=jax.random.fold_in(
                         jax.random.PRNGKey(int(config.get("seed") or 0)), rng_counter),

@@ -301,3 +301,30 @@ def test_sd3_kohya_lora_export_naming():
     assert "lora_unet_transformer_blocks_0_attn_to_q.lora_down.weight" in out
     assert "lora_unet_transformer_blocks_0_attn_add_q_proj.lora_up.weight" in out
     assert "lora_unet_transformer_blocks_0_attn_to_q.alpha" in out
+
+
+def test_sd3_prune_emits_diffusers_transformer(tmp_path):
+    """prune on an SD3 full-FT checkpoint publishes the diffusers
+    transformer layout (no LDM bijection exists for MMDiT)."""
+    from safetensors import safe_open
+
+    from scal_sdt_tpu.cli.ckpt_tool import main as ckpt_main
+    from scal_sdt_tpu.utils.state import save_state_dict
+
+    models = tiny_sd3_models(with_t5=False)
+    ckpt = tmp_path / "run.safetensors"
+    save_state_dict({f"unet.{k}": np.asarray(v)
+                     for k, v in models.unet.items()}, ckpt)
+    out = tmp_path / "transformer.safetensors"
+    from click.testing import CliRunner
+
+    res = CliRunner().invoke(ckpt_main,
+                             ["prune", str(ckpt), str(out), "--unet-dtype",
+                              "fp16"])
+    assert res.exit_code == 0, res.output
+    with safe_open(str(out), "numpy") as f:
+        keys = set(f.keys())
+        assert "pos_embed.proj.weight" in keys
+        assert "transformer_blocks.0.attn.to_q.weight" in keys
+        assert f.get_tensor("proj_out.weight").dtype == np.float16
+    assert set(models.unet) == keys
