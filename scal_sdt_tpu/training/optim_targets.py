@@ -74,6 +74,12 @@ def _module_param_keys(param_keys: list[str], prefix: str) -> list[str]:
     return [k for k in param_keys if k.startswith(start)]
 
 
+# Fixed buffers that must never become trainable even when a target subtree
+# selects them (torch registers these as non-parameter buffers): the MMDiT's
+# sincos positional table (diffusers PatchEmbed.pos_embed).
+BUFFERS = ("pos_embed.pos_embed",)
+
+
 def resolve_targets(component_targets: list, param_keys: Iterable[str]) -> TargetResolution:
     """Resolve a `targets:` list for one component (unet / text_encoder)."""
     param_keys = list(param_keys)
@@ -91,7 +97,9 @@ def resolve_targets(component_targets: list, param_keys: Iterable[str]) -> Targe
             result.lora[prefix] = spec
             keys = [f"{prefix}.lora_A", f"{prefix}.lora_B"]
         else:
-            keys = _module_param_keys(param_keys, prefix)
+            keys = [k for k in _module_param_keys(param_keys, prefix)
+                    if k not in BUFFERS and not k.endswith(
+                        tuple("." + b for b in BUFFERS))]
             if not keys:
                 raise KeyError(f"Optim target {prefix} matches no parameters")
         result.trainable.extend(keys)

@@ -92,9 +92,13 @@ def test_sd3_train_step(with_t5):
     labels = group_labels(resolutions)
     overrides = {f"g{i}": g.optimizer
                  for i, g in enumerate(resolutions["unet"].groups)}
+    trainable_names = set(resolutions["unet"].trainable)
     trainable = {f"{UNET_PREFIX}.{k}": np.asarray(v, np.float32)
-                 for k, v in models.unet.items()}
-    frozen = {f"{TE_PREFIX}.{k}": np.asarray(v) for k, v in models.clip.items()}
+                 for k, v in models.unet.items() if k in trainable_names}
+    frozen = {f"{UNET_PREFIX}.{k}": np.asarray(v)
+              for k, v in models.unet.items() if k not in trainable_names}
+    frozen.update({f"{TE_PREFIX}.{k}": np.asarray(v)
+                   for k, v in models.clip.items()})
     frozen.update({f"{TE2_PREFIX}.{k}": np.asarray(v)
                    for k, v in models.clip2.items()})
     if with_t5:
@@ -328,3 +332,16 @@ def test_sd3_prune_emits_diffusers_transformer(tmp_path):
         assert "transformer_blocks.0.attn.to_q.weight" in keys
         assert f.get_tensor("proj_out.weight").dtype == np.float16
     assert set(models.unet) == keys
+
+
+def test_pos_embed_buffer_never_trainable():
+    """full_unet over an MMDiT must not select the fixed sincos positional
+    table (a torch BUFFER in diffusers, not a parameter)."""
+    from scal_sdt_tpu.conf import load_optim_target
+    from scal_sdt_tpu.training.optim_targets import resolve_optim_target
+
+    models = tiny_sd3_models(with_t5=False)
+    res = resolve_optim_target(load_optim_target("full_unet"),
+                               models.unet.keys(), models.clip.keys())
+    assert "pos_embed.pos_embed" not in res["unet"].trainable
+    assert "pos_embed.proj.weight" in res["unet"].trainable
