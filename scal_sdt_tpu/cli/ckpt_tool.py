@@ -90,10 +90,18 @@ def main():
                    "from the checkpoint's keys and detects the SD2 OpenCLIP "
                    "tower by width; pass explicitly for partial (e.g. "
                    "KV-only) checkpoints.")
+@click.option("--layout", type=click.Choice(["diffusers", "sgm"]),
+              default="diffusers", show_default=True,
+              help="SD3 output layout: 'diffusers' emits the bare "
+                   "SD3Transformer2DModel file (drop into "
+                   "<model>/transformer/); 'sgm' emits a WebUI/ComfyUI "
+                   "single-file checkpoint (model.diffusion_model.* "
+                   "joint_blocks, text_encoders.clip_l/clip_g towers). "
+                   "Ignored for SD1/SD2/SDXL (always single-file LDM).")
 def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
           text_encoder_dtype: str, vae: Optional[Path], df_vae: Optional[str],
           vae_dtype: str, overwrite: bool, fmt: Optional[str], ema: bool,
-          pristine_te: Optional[str], arch: str):
+          pristine_te: Optional[str], arch: str, layout: str):
     """Convert a training checkpoint for CompVis/StabilityAI LDM codebases."""
     check_overwrite(output, overwrite)
     assert not (vae and df_vae), "Only one of --vae / --df-vae may be given"
@@ -111,13 +119,51 @@ def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
     unet_state = {k: v for k, v in unet_state.items() if ".lora_" not in k}
     if arch == "sd3" or (arch == "auto"
                          and "pos_embed.proj.weight" in unet_state):
-        # SD3 (MMDiT): there is no LDM/WebUI single-file bijection here yet —
-        # publish the denoiser in the diffusers transformer/ layout (drop the
-        # file into <model>/transformer/diffusion_pytorch_model.safetensors).
-        out_state = cast_type(unet_state, unet_dtype)
-        save_state_dict(out_state, output, fmt)
-        logger.info(f"Saved SD3 transformer ({len(out_state)} tensors, "
-                    f"{unet_dtype}) in diffusers layout to {output}")
+        if layout != "sgm":
+            # publish the denoiser in the diffusers transformer/ layout (drop
+            # the file into <model>/transformer/diffusion_pytorch_model.safetensors)
+            out_state = cast_type(unet_state, unet_dtype)
+            save_state_dict(out_state, output, fmt)
+            logger.info(f"Saved SD3 transformer ({len(out_state)} tensors, "
+                        f"{unet_dtype}) in diffusers layout to {output}")
+            return
+        # WebUI/ComfyUI SD3 single-file layout: sgm joint_blocks naming under
+        # model.diffusion_model.*, text towers (transformers layout) under
+        # text_encoders.clip_l/clip_g.transformer.*
+        from ..convert.mmdit_names import convert_mmdit_state_df_to_sgm
+
+        sgm = convert_mmdit_state_df_to_sgm(unet_state)
+        ldm_state.update(cast_type(
+            {f"model.diffusion_model.{k}": v for k, v in sgm.items()},
+            unet_dtype))
+        if df_vae is not None:
+            raise click.UsageError(
+                "--df-vae is not supported with --layout sgm for SD3; pass "
+                "an LDM-layout VAE file via --vae instead")
+        if vae is not None:
+            vae_state = load_state_dict(vae)
+            from_ldm = where_prefix(vae_state, "first_stage_model.")
+            vae_state = (from_ldm if from_ldm
+                         else replace_prefix(vae_state, "", "first_stage_model."))
+            ldm_state.update(cast_type(vae_state, vae_dtype))
+        if text_encoder:
+            te1 = replace_prefix(state, TE_CKPT_PREFIX,
+                                 "text_encoders.clip_l.transformer.")
+            te1 = {k: v for k, v in te1.items() if ".lora_" not in k}
+            te2 = replace_prefix(state, TE2_CKPT_PREFIX,
+                                 "text_encoders.clip_g.transformer.")
+            te2 = {k: v for k, v in te2.items() if ".lora_" not in k}
+            if not te1 or not te2:
+                logger.warning(
+                    "Checkpoint lacks full SD3 text towers (trainable-only "
+                    "checkpoints omit frozen components); skipping "
+                    "--text-encoder — merge into a full model with `graft`")
+            else:
+                ldm_state.update(cast_type(te1, text_encoder_dtype))
+                ldm_state.update(cast_type(te2, text_encoder_dtype))
+        save_state_dict(ldm_state, output, fmt)
+        logger.info(f"Wrote {len(ldm_state)} tensors (SD3 single-file sgm "
+                    f"layout) to {output}")
         return
     from ..convert.sd_names import infer_unet_layout
 

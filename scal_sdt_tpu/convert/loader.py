@@ -138,6 +138,8 @@ def _vae_config_from_df(cfg: dict) -> VAEConfig:
         norm_num_groups=cfg.get("norm_num_groups", 32),
         scaling_factor=cfg.get("scaling_factor", 0.18215),
         shift_factor=float(cfg.get("shift_factor") or 0.0),
+        use_quant_conv=bool(cfg.get("use_quant_conv", True)),
+        use_post_quant_conv=bool(cfg.get("use_post_quant_conv", True)),
     )
 
 
@@ -296,6 +298,117 @@ def _load_sd3_diffusers_dir(path: Path,
                         mmdit_config=mmdit_config, t5=t5, t5_config=t5_config)
 
 
+def _vae_config_from_ldm_state(vae_ldm: dict) -> VAEConfig:
+    """Infer the VAE architecture from an LDM-layout first-stage state dict
+    (single-file checkpoints carry no component config.json). SD3's
+    16-channel VAE is recognised by its latent width and its missing 1x1
+    quant convs."""
+    cin = int(np.asarray(vae_ldm["encoder.conv_in.weight"]).shape[1])
+    ch = []
+    while f"encoder.down.{len(ch)}.block.0.conv1.weight" in vae_ldm:
+        ch.append(int(np.asarray(
+            vae_ldm[f"encoder.down.{len(ch)}.block.0.conv1.weight"]).shape[0]))
+    layers = 0
+    while f"encoder.down.0.block.{layers}.conv1.weight" in vae_ldm:
+        layers += 1
+    z = int(np.asarray(vae_ldm["encoder.conv_out.weight"]).shape[0]) // 2
+    cout = int(np.asarray(vae_ldm["decoder.conv_out.weight"]).shape[0])
+    sd3like = z == 16
+    return VAEConfig(
+        in_channels=cin, out_channels=cout, latent_channels=z,
+        block_out_channels=tuple(ch), layers_per_block=layers,
+        norm_num_groups=next(g for g in (32, 8, 4, 1) if ch[0] % g == 0),
+        scaling_factor=1.5305 if sd3like else 0.18215,
+        shift_factor=0.0609 if sd3like else 0.0,
+        use_quant_conv="quant_conv.weight" in vae_ldm,
+        use_post_quant_conv="post_quant_conv.weight" in vae_ldm,
+    )
+
+
+def _t5_config_from_state(t5: dict):
+    """Infer T5Config from a transformers-layout encoder state dict."""
+    from ..models.t5 import T5Config
+
+    shared = np.asarray(t5["shared.weight"])
+    layers = 0
+    while f"encoder.block.{layers}.layer.0.SelfAttention.q.weight" in t5:
+        layers += 1
+    rel = np.asarray(
+        t5["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"])
+    heads = int(rel.shape[1])
+    inner = int(np.asarray(
+        t5["encoder.block.0.layer.0.SelfAttention.q.weight"]).shape[0])
+    gated = "encoder.block.0.layer.1.DenseReluDense.wi_0.weight" in t5
+    ff_key = ("encoder.block.0.layer.1.DenseReluDense.wi_0.weight" if gated
+              else "encoder.block.0.layer.1.DenseReluDense.wi.weight")
+    return T5Config(
+        vocab_size=int(shared.shape[0]), d_model=int(shared.shape[1]),
+        d_kv=inner // heads, d_ff=int(np.asarray(t5[ff_key]).shape[0]),
+        num_layers=layers, num_heads=heads,
+        relative_attention_num_buckets=int(rel.shape[0]),
+        feed_forward_proj="gated-gelu" if gated else "relu")
+
+
+def _load_sd3_single_file(state: dict,
+                          vae_path: Optional[str] = None) -> LoadedModels:
+    """SD3/SD3.5 single-file checkpoint (WebUI/ComfyUI distribution): MMDiT
+    under ``model.diffusion_model.*`` (sgm joint_blocks naming), text towers
+    under ``text_encoders.{clip_l,clip_g,t5xxl}.transformer.*`` (transformers
+    layout), 16-channel VAE under ``first_stage_model.*``. Beyond-reference
+    capability (the reference is SD1.x-only)."""
+    from ..diffusion.flow import FlowSchedule
+    from ..models.mmdit import mmdit_param_shapes
+    from ..models.t5 import t5_param_shapes
+    from .mmdit_names import (
+        convert_mmdit_state_sgm_to_df, mmdit_config_from_sgm_state,
+    )
+
+    sgm = replace_prefix(state, "model.diffusion_model.")
+    mmdit_config = mmdit_config_from_sgm_state(sgm)
+    mmdit = convert_mmdit_state_sgm_to_df(sgm)
+
+    if vae_path is not None:
+        vae_state = load_state_dict(Path(vae_path))
+        vae_ldm = replace_prefix(vae_state, "first_stage_model.") or vae_state
+    else:
+        vae_ldm = replace_prefix(state, "first_stage_model.")
+    vae_config = _vae_config_from_ldm_state(vae_ldm)
+    vae = convert_vae_state_ldm_to_df(vae_ldm, vae_config)
+
+    clips = []
+    for tower, act in (("clip_l", "quick_gelu"), ("clip_g", "gelu")):
+        st = replace_prefix(state, f"text_encoders.{tower}.transformer.")
+        if not st:
+            raise ValueError(
+                f"SD3 single-file checkpoint has no bundled {tower} tower "
+                "(text_encoders.*): use the incl-clips distribution or the "
+                "diffusers directory layout")
+        st.pop("text_model.embeddings.position_ids", None)
+        proj = st.get("text_projection.weight")
+        if proj is None:
+            raise ValueError(f"SD3 {tower} tower is missing text_projection "
+                             "(the pooled conditioning needs it)")
+        cfg = dataclasses.replace(_clip_config_from_state(st, hidden_act=act),
+                                  projection_dim=int(proj.shape[0]))
+        clips.append((st, cfg))
+
+    t5 = t5_config = None
+    t5_state = replace_prefix(state, "text_encoders.t5xxl.transformer.")
+    if t5_state:
+        t5_config = _t5_config_from_state(t5_state)
+        _validate(t5_state, t5_param_shapes(t5_config), "t5xxl")
+        t5 = t5_state
+
+    _validate(mmdit, mmdit_param_shapes(mmdit_config), "transformer")
+    _validate(vae, vae_param_shapes(vae_config), "vae")
+    _validate(clips[0][0], clip_param_shapes(clips[0][1]), "clip_l")
+    _validate(clips[1][0], clip_param_shapes(clips[1][1]), "clip_g")
+    return LoadedModels(mmdit, None, vae, vae_config,
+                        clips[0][0], clips[0][1], FlowSchedule(),
+                        clip2=clips[1][0], clip2_config=clips[1][1],
+                        mmdit_config=mmdit_config, t5=t5, t5_config=t5_config)
+
+
 def _load_sdxl_single_file(state: dict,
                            ldm_config: Optional[Config] = None,
                            vae_path: Optional[str] = None) -> LoadedModels:
@@ -356,6 +469,8 @@ def load_ldm_checkpoint(path: Path, ldm_config: Optional[Config] = None,
                         vae_path: Optional[str] = None) -> LoadedModels:
     """Original-LDM single-file checkpoint (reference modules/model.py:96-123)."""
     state = load_state_dict(Path(path))
+    if any(k.startswith("model.diffusion_model.joint_blocks.") for k in state):
+        return _load_sd3_single_file(state, vae_path)
     if any(k.startswith("conditioner.embedders.1.model.") for k in state):
         return _load_sdxl_single_file(state, ldm_config, vae_path)
     ldm_config = ldm_config if ldm_config is not None else get_ldm_config(None)

@@ -47,6 +47,10 @@ class MMDiTConfig:
     pos_embed_max_size: int = 192
     # SD3.5 adds per-head RMS q/k norms ('rms_norm'); SD3-Medium has none.
     qk_norm: str | None = None
+    # SD3.5-Medium (MMDiT-X): these block indices carry a SECOND, latent-only
+    # self-attention (attn2) fed by a 9-chunk adaLN (diffusers
+    # SD35AdaLayerNormZeroX + dual_attention_layers).
+    dual_attention_layers: tuple[int, ...] = ()
 
     @property
     def inner_dim(self) -> int:
@@ -78,6 +82,7 @@ class MMDiTConfig:
             pooled_projection_dim=int(d.get("pooled_projection_dim", 2048)),
             pos_embed_max_size=int(d.get("pos_embed_max_size", 192)),
             qk_norm=d.get("qk_norm"),
+            dual_attention_layers=tuple(d.get("dual_attention_layers") or ()),
         )
 
 

@@ -32,6 +32,10 @@ class VAEConfig:
     # SD3-family VAEs subtract a latent mean before scaling:
     # z = (z - shift_factor) * scaling_factor (diffusers AutoencoderKL).
     shift_factor: float = 0.0
+    # SD3's 16-channel VAE drops the (identity-initialised) 1x1 quant convs
+    # entirely (diffusers AutoencoderKL use_quant_conv/use_post_quant_conv).
+    use_quant_conv: bool = True
+    use_post_quant_conv: bool = True
 
     @classmethod
     def sd15(cls) -> "VAEConfig":
@@ -41,7 +45,8 @@ class VAEConfig:
     def sd3(cls) -> "VAEConfig":
         # stabilityai/stable-diffusion-3-medium vae/config.json
         return cls(latent_channels=16, scaling_factor=1.5305,
-                   shift_factor=0.0609)
+                   shift_factor=0.0609,
+                   use_quant_conv=False, use_post_quant_conv=False)
 
     @classmethod
     def tiny(cls) -> "VAEConfig":
@@ -111,7 +116,9 @@ def encoder_apply(params: Params, images: jnp.ndarray, config: VAEConfig) -> jnp
     h = group_norm(p, "conv_norm_out", h, g, eps=1e-6)
     h = silu(h)
     h = conv2d(p, "conv_out", h)
-    return conv2d(params, "quant_conv", h, padding=0)
+    if "quant_conv.weight" in params:
+        h = conv2d(params, "quant_conv", h, padding=0)
+    return h
 
 
 def sample_latents(moments: jnp.ndarray, rng: jax.Array,
@@ -129,7 +136,8 @@ def sample_latents(moments: jnp.ndarray, rng: jax.Array,
 
 def decoder_apply(params: Params, latents: jnp.ndarray, config: VAEConfig) -> jnp.ndarray:
     """latents: (B, h, w, latent) already divided by scaling factor -> images (B, 8h, 8w, 3)."""
-    z = conv2d(params, "post_quant_conv", latents, padding=0)
+    z = (conv2d(params, "post_quant_conv", latents, padding=0)
+         if "post_quant_conv.weight" in params else latents)
     p = sub_params(params, "decoder")
     g = config.norm_num_groups
     h = conv2d(p, "conv_in", z)
@@ -202,10 +210,12 @@ def vae_param_shapes(config: VAEConfig) -> dict[str, tuple[int, ...]]:
     s.update(_mid_s("encoder.mid_block", ch[-1]))
     s.update(_norm_s("encoder.conv_norm_out", ch[-1]))
     s.update(_conv_s("encoder.conv_out", ch[-1], 2 * z))
-    s.update(_conv_s("quant_conv", 2 * z, 2 * z, k=1))
+    if config.use_quant_conv:
+        s.update(_conv_s("quant_conv", 2 * z, 2 * z, k=1))
 
     # Decoder
-    s.update(_conv_s("post_quant_conv", z, z, k=1))
+    if config.use_post_quant_conv:
+        s.update(_conv_s("post_quant_conv", z, z, k=1))
     s.update(_conv_s("decoder.conv_in", z, ch[-1]))
     s.update(_mid_s("decoder.mid_block", ch[-1]))
     rev = list(reversed(ch))
