@@ -292,6 +292,16 @@ def _adaln_zero(p: dict, name: str, x: torch.Tensor, temb: torch.Tensor):
     return _ln_na(x) * (1 + sc_a) + sh_a, g_a, sh_m, sc_m, g_m
 
 
+def _adaln_zero_x(p: dict, name: str, x: torch.Tensor, temb: torch.Tensor):
+    """SD35AdaLayerNormZeroX: 9 chunks, second modulation for attn2."""
+    emb = linear(p, f"{name}.linear", F.silu(temb))[:, None, :]
+    (sh_a, sc_a, g_a, sh_m, sc_m, g_m,
+     sh_a2, sc_a2, g_a2) = emb.chunk(9, dim=-1)
+    base = _ln_na(x)
+    return (base * (1 + sc_a) + sh_a, g_a, sh_m, sc_m, g_m,
+            base * (1 + sc_a2) + sh_a2, g_a2)
+
+
 def _adaln_cont(p: dict, name: str, x: torch.Tensor, temb: torch.Tensor):
     emb = linear(p, f"{name}.linear", F.silu(temb))[:, None, :]
     sc, sh = emb.chunk(2, dim=-1)
@@ -358,7 +368,12 @@ def mmdit_forward(params: dict, latents: torch.Tensor, timesteps: torch.Tensor,
     for i in range(config.num_layers):
         pre = f"transformer_blocks.{i}"
         pre_only = i == config.num_layers - 1
-        n_h, g_a, sh_m, sc_m, g_m = _adaln_zero(p, f"{pre}.norm1", x, temb)
+        dual = i in getattr(config, "dual_attention_layers", ())
+        if dual:
+            n_h, g_a, sh_m, sc_m, g_m, n_h2, g_a2 = _adaln_zero_x(
+                p, f"{pre}.norm1", x, temb)
+        else:
+            n_h, g_a, sh_m, sc_m, g_m = _adaln_zero(p, f"{pre}.norm1", x, temb)
         if pre_only:
             n_c = _adaln_cont(p, f"{pre}.norm1_context", c, temb)
         else:
@@ -379,6 +394,14 @@ def mmdit_forward(params: dict, latents: torch.Tensor, timesteps: torch.Tensor,
                     torch.cat([v, vc], 1), heads)
         a_h, a_c = attn[:, :lh], attn[:, lh:]
         x = x + g_a * linear(p, f"{pre}.attn.to_out.0", a_h)
+        if dual:
+            q2 = _qk_norm(p, f"{pre}.attn2.norm_q",
+                          linear(p, f"{pre}.attn2.to_q", n_h2), heads)
+            k2 = _qk_norm(p, f"{pre}.attn2.norm_k",
+                          linear(p, f"{pre}.attn2.to_k", n_h2), heads)
+            v2 = linear(p, f"{pre}.attn2.to_v", n_h2)
+            x = x + g_a2 * linear(p, f"{pre}.attn2.to_out.0",
+                                  _mha(q2, k2, v2, heads))
         x = x + g_m * _ff_gelu_tanh(p, f"{pre}.ff",
                                     _ln_na(x) * (1 + sc_m) + sh_m)
         if not pre_only:

@@ -90,6 +90,10 @@ def main():
                    "from the checkpoint's keys and detects the SD2 OpenCLIP "
                    "tower by width; pass explicitly for partial (e.g. "
                    "KV-only) checkpoints.")
+@click.option("--pos-embed-max-size", type=int, default=192, show_default=True,
+              help="SD3 sgm layout only: grid size of the synthesized sincos "
+                   "pos_embed buffer when the training checkpoint omits it "
+                   "(trainable-only checkpoints always do; 192 = SD3-Medium).")
 @click.option("--layout", type=click.Choice(["diffusers", "sgm"]),
               default="diffusers", show_default=True,
               help="SD3 output layout: 'diffusers' emits the bare "
@@ -101,7 +105,8 @@ def main():
 def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
           text_encoder_dtype: str, vae: Optional[Path], df_vae: Optional[str],
           vae_dtype: str, overwrite: bool, fmt: Optional[str], ema: bool,
-          pristine_te: Optional[str], arch: str, layout: str):
+          pristine_te: Optional[str], arch: str, layout: str,
+          pos_embed_max_size: int):
     """Convert a training checkpoint for CompVis/StabilityAI LDM codebases."""
     check_overwrite(output, overwrite)
     assert not (vae and df_vae), "Only one of --vae / --df-vae may be given"
@@ -132,6 +137,14 @@ def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
         # text_encoders.clip_l/clip_g.transformer.*
         from ..convert.mmdit_names import convert_mmdit_state_df_to_sgm
 
+        if "pos_embed.pos_embed" not in unet_state:
+            # the fixed sincos buffer is excluded from training checkpoints
+            # (never trainable); real single files carry it, so synthesize
+            from ..models.mmdit import sincos_pos_embed_2d
+
+            inner = int(unet_state["pos_embed.proj.weight"].shape[0])
+            unet_state["pos_embed.pos_embed"] = sincos_pos_embed_2d(
+                inner, pos_embed_max_size)
         sgm = convert_mmdit_state_df_to_sgm(unet_state)
         ldm_state.update(cast_type(
             {f"model.diffusion_model.{k}": v for k, v in sgm.items()},

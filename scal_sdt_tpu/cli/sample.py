@@ -88,11 +88,17 @@ def _merge_checkpoint(models, ckpt_path: Path) -> dict:
               help="CLIP stop-at-layer (reference clip_stop_at_layer)")
 @click.option("--tokenizer", "tokenizer_src", default=None,
               help="Tokenizer assets dir/name ('hash' for the test stand-in)")
+@click.option("--tokenizer-3", "tokenizer_3_src", default=None,
+              help="T5 tokenizer.json for SD3 single-file models (dirs "
+                   "resolve tokenizer_3/ automatically)")
+@click.option("--mmdit-head-dim", type=int, default=64, show_default=True,
+              help="MMDiT attention head dim for SD3 single-file loads "
+                   "(all SD3/SD3.5 releases use 64; override for minis)")
 @click.option("--out", type=click.Path(path_type=Path), default=Path("samples"),
               show_default=True)
 def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
          seed, method, guidance_rescale, init_image, strength, clip_skip,
-         tokenizer_src, out):
+         tokenizer_src, tokenizer_3_src, mmdit_head_dim, out):
     logging.basicConfig(level=logging.INFO)
 
     from ..conf import Config, default, merge
@@ -104,7 +110,9 @@ def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
         "model": str(model),
         "vae": vae,
         "clip_stop_at_layer": int(clip_skip),
+        "mmdit_head_dim": int(mmdit_head_dim),
         **({"tokenizer": tokenizer_src} if tokenizer_src else {}),
+        **({"tokenizer_3": tokenizer_3_src} if tokenizer_3_src else {}),
     }))
     models = load_components(config)
     tokenizer = resolve_tokenizer(config, allow_hash=tokenizer_src == "hash")

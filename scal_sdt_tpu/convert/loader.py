@@ -350,7 +350,8 @@ def _t5_config_from_state(t5: dict):
 
 
 def _load_sd3_single_file(state: dict,
-                          vae_path: Optional[str] = None) -> LoadedModels:
+                          vae_path: Optional[str] = None,
+                          head_dim: int = 64) -> LoadedModels:
     """SD3/SD3.5 single-file checkpoint (WebUI/ComfyUI distribution): MMDiT
     under ``model.diffusion_model.*`` (sgm joint_blocks naming), text towers
     under ``text_encoders.{clip_l,clip_g,t5xxl}.transformer.*`` (transformers
@@ -364,8 +365,14 @@ def _load_sd3_single_file(state: dict,
     )
 
     sgm = replace_prefix(state, "model.diffusion_model.")
-    mmdit_config = mmdit_config_from_sgm_state(sgm)
+    mmdit_config = mmdit_config_from_sgm_state(sgm, head_dim=head_dim)
     mmdit = convert_mmdit_state_sgm_to_df(sgm)
+    if "pos_embed.pos_embed" not in mmdit:
+        # fixed sincos buffer, non-persistent in some exports
+        from ..models.mmdit import sincos_pos_embed_2d
+
+        mmdit["pos_embed.pos_embed"] = sincos_pos_embed_2d(
+            mmdit_config.inner_dim, mmdit_config.pos_embed_max_size)
 
     if vae_path is not None:
         vae_state = load_state_dict(Path(vae_path))
@@ -466,11 +473,12 @@ def _load_sdxl_single_file(state: dict,
 
 
 def load_ldm_checkpoint(path: Path, ldm_config: Optional[Config] = None,
-                        vae_path: Optional[str] = None) -> LoadedModels:
+                        vae_path: Optional[str] = None,
+                        mmdit_head_dim: int = 64) -> LoadedModels:
     """Original-LDM single-file checkpoint (reference modules/model.py:96-123)."""
     state = load_state_dict(Path(path))
     if any(k.startswith("model.diffusion_model.joint_blocks.") for k in state):
-        return _load_sd3_single_file(state, vae_path)
+        return _load_sd3_single_file(state, vae_path, head_dim=mmdit_head_dim)
     if any(k.startswith("conditioner.embedders.1.model.") for k in state):
         return _load_sdxl_single_file(state, ldm_config, vae_path)
     ldm_config = ldm_config if ldm_config is not None else get_ldm_config(None)
@@ -523,7 +531,9 @@ def load_components(config: Config) -> LoadedModels:
     p = Path(str(name))
     if p.is_file():
         models = load_ldm_checkpoint(p, get_ldm_config(config.get("ldm_config")),
-                                     config.get("vae"))
+                                     config.get("vae"),
+                                     mmdit_head_dim=int(
+                                         config.get("mmdit_head_dim") or 64))
     elif p.is_dir():
         models = load_diffusers_dir(p, config.get("vae"))
     else:

@@ -53,6 +53,11 @@ _TOP_LEVEL = [
 _BLOCK_DIRECT = [
     ("x_block.attn.proj.weight", "attn.to_out.0.weight"),
     ("x_block.attn.proj.bias", "attn.to_out.0.bias"),
+    # SD3.5-Medium dual-attention (MMDiT-X) latent-only second attention
+    ("x_block.attn2.proj.weight", "attn2.to_out.0.weight"),
+    ("x_block.attn2.proj.bias", "attn2.to_out.0.bias"),
+    ("x_block.attn2.ln_q.weight", "attn2.norm_q.weight"),
+    ("x_block.attn2.ln_k.weight", "attn2.norm_k.weight"),
     ("context_block.attn.proj.weight", "attn.to_add_out.weight"),
     ("context_block.attn.proj.bias", "attn.to_add_out.bias"),
     ("x_block.attn.ln_q.weight", "attn.norm_q.weight"),
@@ -71,8 +76,10 @@ _BLOCK_DIRECT = [
     ("context_block.mlp.fc2.bias", "ff_context.net.2.bias"),
 ]
 
-_QKV = [("x_block.attn.qkv", "to_q", "to_k", "to_v"),
-        ("context_block.attn.qkv", "add_q_proj", "add_k_proj", "add_v_proj")]
+_QKV = [("x_block.attn.qkv", "attn.to_q", "attn.to_k", "attn.to_v"),
+        ("context_block.attn.qkv",
+         "attn.add_q_proj", "attn.add_k_proj", "attn.add_v_proj"),
+        ("x_block.attn2.qkv", "attn2.to_q", "attn2.to_k", "attn2.to_v")]
 
 
 def _swap_scale_shift(w: np.ndarray) -> np.ndarray:
@@ -93,11 +100,6 @@ def _count_blocks(names: Iterable[str], pat: str) -> int:
 def convert_mmdit_state_sgm_to_df(state: dict) -> dict:
     """sgm MMDiT state (keys relative to ``model.diffusion_model.``) ->
     diffusers ``SD3Transformer2DModel`` naming (our canonical names)."""
-    if any(".x_block.attn2." in k for k in state):
-        raise ValueError(
-            "This checkpoint has dual-attention joint blocks (x_block.attn2, "
-            "SD3.5-Medium): unsupported — use the diffusers-layout "
-            "distribution of the model instead.")
     n = _count_blocks(state, r"joint_blocks\.(\d+)\.")
     if n == 0:
         raise ValueError("No joint_blocks.* keys: not an sgm MMDiT state")
@@ -131,9 +133,9 @@ def convert_mmdit_state_sgm_to_df(state: dict) -> dict:
                 k = f"{pre_sgm}{sgm_suf}.{wb}"
                 if k in state:
                     parts = np.split(np.asarray(take(k)), 3, axis=0)
-                    out[f"{pre_df}attn.{q}.{wb}"] = parts[0]
-                    out[f"{pre_df}attn.{kk}.{wb}"] = parts[1]
-                    out[f"{pre_df}attn.{v}.{wb}"] = parts[2]
+                    out[f"{pre_df}{q}.{wb}"] = parts[0]
+                    out[f"{pre_df}{kk}.{wb}"] = parts[1]
+                    out[f"{pre_df}{v}.{wb}"] = parts[2]
         for wb in ("weight", "bias"):
             k = f"{pre_sgm}context_block.adaLN_modulation.1.{wb}"
             if k in state:
@@ -180,7 +182,7 @@ def convert_mmdit_state_df_to_sgm(state: dict) -> dict:
                 consumed.add(k)
         for sgm_suf, q, kk, v in _QKV:
             for wb in ("weight", "bias"):
-                names = [f"{pre_df}attn.{p}.{wb}" for p in (q, kk, v)]
+                names = [f"{pre_df}{p}.{wb}" for p in (q, kk, v)]
                 present = [nm for nm in names if nm in state]
                 if not present:
                     continue
@@ -224,8 +226,13 @@ def mmdit_config_from_sgm_state(state: dict, head_dim: int = 64):
             "head count cannot be inferred from a single-file checkpoint — "
             "pass head_dim explicitly")
     n = _count_blocks(state, r"joint_blocks\.(\d+)\.")
-    pos = np.asarray(state["pos_embed"])
-    max_size = int(round(float(pos.shape[-2]) ** 0.5))
+    if "pos_embed" in state:
+        pos = np.asarray(state["pos_embed"])
+        max_size = int(round(float(pos.shape[-2]) ** 0.5))
+    else:
+        # the sincos table is a fixed (non-persistent in some exports)
+        # buffer; SD3-Medium's published crop size
+        max_size = 192
     cout = int(np.asarray(state["final_layer.linear.weight"]).shape[0]) // (ps * ps)
     return MMDiTConfig(
         patch_size=ps, in_channels=cin, out_channels=cout, num_layers=n,
@@ -235,4 +242,7 @@ def mmdit_config_from_sgm_state(state: dict, head_dim: int = 64):
         pos_embed_max_size=max_size,
         qk_norm=("rms_norm" if "joint_blocks.0.x_block.attn.ln_q.weight" in state
                  else None),
+        dual_attention_layers=tuple(
+            i for i in range(n)
+            if f"joint_blocks.{i}.x_block.attn2.qkv.weight" in state),
     )

@@ -109,6 +109,21 @@ def _ada_ln_zero(p: Params, name: str, x: jnp.ndarray, temb: jnp.ndarray):
     return normed, gate_msa, shift_mlp, scale_mlp, gate_mlp
 
 
+def _ada_ln_zero_x(p: Params, name: str, x: jnp.ndarray, temb: jnp.ndarray):
+    """SD35AdaLayerNormZeroX (dual-attention blocks): one LN, TWO
+    shift/scale/gate triples — the second modulation feeds the latent-only
+    attn2 stream. diffusers chunk order: shift_msa, scale_msa, gate_msa,
+    shift_mlp, scale_mlp, gate_mlp, shift_msa2, scale_msa2, gate_msa2."""
+    emb = linear(p, f"{name}.linear", jax.nn.silu(temb))
+    (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp,
+     shift_msa2, scale_msa2, gate_msa2) = jnp.split(emb[:, None, :], 9, axis=-1)
+    base = _layer_norm_noaffine(x)
+    normed = base * (1.0 + scale_msa) + shift_msa
+    normed2 = base * (1.0 + scale_msa2) + shift_msa2
+    return (normed, gate_msa, shift_mlp, scale_mlp, gate_mlp,
+            normed2, gate_msa2)
+
+
 def _ada_ln_continuous(p: Params, name: str, x: jnp.ndarray,
                        temb: jnp.ndarray) -> jnp.ndarray:
     """AdaLayerNormContinuous: LN(x)*(1+scale)+shift.
@@ -142,17 +157,24 @@ def _maybe_rms_head_norm(p: Params, name: str, x: jnp.ndarray,
 
 
 def _joint_block(p: Params, pre: str, hidden: jnp.ndarray, context: jnp.ndarray,
-                 temb: jnp.ndarray, config: MMDiTConfig, pre_only: bool):
+                 temb: jnp.ndarray, config: MMDiTConfig, pre_only: bool,
+                 dual: bool = False):
     """One JointTransformerBlock: joint attention over [hidden; context].
 
     `pre_only` (final block): the context stream contributes q/k/v but its
     attention output is discarded — no to_add_out / ff_context, and its norm
     is the 2-parameter continuous adaLN (diffusers context_pre_only).
+    `dual` (SD3.5-Medium MMDiT-X): an extra latent-only self-attention
+    (attn2) residual between the joint attention and the MLP.
     """
     h = config.num_attention_heads
 
-    n_h, gate_msa, shift_mlp, scale_mlp, gate_mlp = _ada_ln_zero(
-        p, f"{pre}.norm1", hidden, temb)
+    if dual:
+        (n_h, gate_msa, shift_mlp, scale_mlp, gate_mlp,
+         n_h2, gate_msa2) = _ada_ln_zero_x(p, f"{pre}.norm1", hidden, temb)
+    else:
+        n_h, gate_msa, shift_mlp, scale_mlp, gate_mlp = _ada_ln_zero(
+            p, f"{pre}.norm1", hidden, temb)
     if pre_only:
         n_c = _ada_ln_continuous(p, f"{pre}.norm1_context", context, temb)
         c_gates = None
@@ -182,6 +204,14 @@ def _joint_block(p: Params, pre: str, hidden: jnp.ndarray, context: jnp.ndarray,
     attn_h, attn_c = attn[:, :lh], attn[:, lh:]
 
     hidden = hidden + gate_msa * linear(p, f"{pre}.attn.to_out.0", attn_h)
+    if dual:
+        q2 = _maybe_rms_head_norm(p, f"{pre}.attn2.norm_q",
+                                  linear(p, f"{pre}.attn2.to_q", n_h2), h)
+        k2 = _maybe_rms_head_norm(p, f"{pre}.attn2.norm_k",
+                                  linear(p, f"{pre}.attn2.to_k", n_h2), h)
+        v2 = linear(p, f"{pre}.attn2.to_v", n_h2)
+        attn2 = multi_head_attention(q2, k2, v2, h)
+        hidden = hidden + gate_msa2 * linear(p, f"{pre}.attn2.to_out.0", attn2)
     n2 = _layer_norm_noaffine(hidden) * (1.0 + scale_mlp) + shift_mlp
     hidden = hidden + gate_mlp * _gelu_tanh_ff(p, f"{pre}.ff", n2)
 
@@ -243,7 +273,8 @@ def mmdit_apply(params: Params, latents: jnp.ndarray, timesteps: jnp.ndarray,
 
     for i in range(config.num_layers):
         x, c = _joint_block(p, f"transformer_blocks.{i}", x, c, temb, config,
-                            pre_only=(i == config.num_layers - 1))
+                            pre_only=(i == config.num_layers - 1),
+                            dual=(i in config.dual_attention_layers))
 
     x = _ada_ln_continuous(p, "norm_out", x, temb)
     x = linear(p, "proj_out", x)  # (B, Lh, ps*ps*C_out)
@@ -301,8 +332,19 @@ def mmdit_param_shapes(config: MMDiTConfig) -> dict[str, tuple[int, ...]]:
     for i in range(config.num_layers):
         pre = f"transformer_blocks.{i}"
         pre_only = i == config.num_layers - 1
-        shapes[f"{pre}.norm1.linear.weight"] = (6 * d, d)
-        shapes[f"{pre}.norm1.linear.bias"] = (6 * d,)
+        dual = i in config.dual_attention_layers
+        nh = 9 if dual else 6
+        shapes[f"{pre}.norm1.linear.weight"] = (nh * d, d)
+        shapes[f"{pre}.norm1.linear.bias"] = (nh * d,)
+        if dual:
+            for proj in ("to_q", "to_k", "to_v"):
+                shapes[f"{pre}.attn2.{proj}.weight"] = (d, d)
+                shapes[f"{pre}.attn2.{proj}.bias"] = (d,)
+            shapes[f"{pre}.attn2.to_out.0.weight"] = (d, d)
+            shapes[f"{pre}.attn2.to_out.0.bias"] = (d,)
+            if config.qk_norm:
+                shapes[f"{pre}.attn2.norm_q.weight"] = (head_dim,)
+                shapes[f"{pre}.attn2.norm_k.weight"] = (head_dim,)
         nc = 2 if pre_only else 6
         shapes[f"{pre}.norm1_context.linear.weight"] = (nc * d, d)
         shapes[f"{pre}.norm1_context.linear.bias"] = (nc * d,)
@@ -341,7 +383,9 @@ def init_mmdit_params(rng: jax.Array, config: MMDiTConfig,
                 params[name] = jnp.asarray(
                     sincos_pos_embed_2d(config.inner_dim,
                                         config.pos_embed_max_size), dtype)
-            elif ".attn.norm" in name:      # qk RMSNorm scales
+            elif name.endswith((".norm_q.weight", ".norm_k.weight",
+                                ".norm_added_q.weight",
+                                ".norm_added_k.weight")):  # qk RMSNorm scales
                 params[name] = jnp.ones(shape, dtype)
             elif name.endswith(".bias"):
                 params[name] = jnp.zeros(shape, dtype)

@@ -42,8 +42,9 @@ def test_sd3_medium_param_count():
                   shapes["transformer_blocks.0.attn.add_q_proj.weight"], 2) == 0
 
 
-@pytest.mark.parametrize("qk_norm", [None, "rms_norm"])
-def test_mmdit_forward_parity_vs_torch(qk_norm):
+@pytest.mark.parametrize("qk_norm,dual", [(None, ()), ("rms_norm", ()),
+                                          ("rms_norm", (0, 1))])
+def test_mmdit_forward_parity_vs_torch(qk_norm, dual):
     import jax
     import jax.numpy as jnp
 
@@ -51,13 +52,13 @@ def test_mmdit_forward_parity_vs_torch(qk_norm):
                          out_channels=4, num_layers=3, attention_head_dim=8,
                          num_attention_heads=2, joint_attention_dim=24,
                          pooled_projection_dim=20, pos_embed_max_size=12,
-                         qk_norm=qk_norm)
+                         qk_norm=qk_norm, dual_attention_layers=dual)
     params = init_mmdit_params(jax.random.PRNGKey(0), config)
     # non-trivial qk-norm scales (init is ones)
     if qk_norm:
         rng = np.random.RandomState(3)
         for k in list(params):
-            if ".attn.norm" in k:
+            if ".norm_q." in k or ".norm_k." in k or ".norm_added" in k:
                 params[k] = jnp.asarray(
                     1.0 + 0.3 * rng.randn(*params[k].shape), jnp.float32)
 

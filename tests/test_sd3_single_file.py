@@ -98,13 +98,29 @@ def test_swap_scale_shift_is_semantic_not_identity():
         params["transformer_blocks.0.norm1_context.linear.weight"])
 
 
-def test_dual_attention_blocks_rejected():
-    config = _sgm_friendly_config()
-    sgm = convert_mmdit_state_df_to_sgm(
-        _to_np(init_mmdit_params(jax.random.PRNGKey(0), config)))
-    sgm["joint_blocks.0.x_block.attn2.qkv.weight"] = np.zeros((3, 1))
-    with pytest.raises(ValueError, match="dual-attention"):
-        convert_mmdit_state_sgm_to_df(sgm)
+def test_dual_attention_round_trip_and_inference():
+    """SD3.5-Medium (MMDiT-X) dual-attention blocks: 9-chunk adaLN + fused
+    attn2.qkv survive the sgm round trip; block indices are inferred."""
+    import dataclasses
+
+    config = dataclasses.replace(_sgm_friendly_config("rms_norm"),
+                                 num_layers=3, dual_attention_layers=(0, 1))
+    params = _to_np(init_mmdit_params(jax.random.PRNGKey(2), config))
+    sgm = convert_mmdit_state_df_to_sgm(params)
+    d = config.inner_dim
+    assert sgm["joint_blocks.0.x_block.attn2.qkv.weight"].shape == (3 * d, d)
+    assert sgm["joint_blocks.0.x_block.adaLN_modulation.1.weight"].shape == (9 * d, d)
+    assert sgm["joint_blocks.2.x_block.adaLN_modulation.1.weight"].shape == (6 * d, d)
+    assert "joint_blocks.0.x_block.attn2.ln_q.weight" in sgm
+    assert "joint_blocks.2.x_block.attn2.qkv.weight" not in sgm
+
+    back = convert_mmdit_state_sgm_to_df(sgm)
+    assert set(back) == set(params)
+    for k in params:
+        np.testing.assert_array_equal(back[k], params[k], err_msg=k)
+    inferred = mmdit_config_from_sgm_state(sgm)
+    assert inferred.dual_attention_layers == (0, 1)
+    assert inferred.qk_norm == "rms_norm"
 
 
 def _build_single_file(tmp_path, with_t5: bool, qk_norm=None):
