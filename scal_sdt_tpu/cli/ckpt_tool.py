@@ -49,6 +49,7 @@ logger = logging.getLogger("ckpt-tool")
 UNET_CKPT_PREFIX = "unet."
 TE_CKPT_PREFIX = "condition_model.encoder."
 TE2_CKPT_PREFIX = "condition_model.encoder_2."   # SDXL tower 2
+TE3_CKPT_PREFIX = "condition_model.encoder_3."   # SD3 T5 tower
 EMA_CKPT_PREFIX = "unet_ema.shadow_params."
 
 
@@ -174,6 +175,16 @@ def prune(checkpoint: Path, output: Path, unet_dtype: str, text_encoder: bool,
             else:
                 ldm_state.update(cast_type(te1, text_encoder_dtype))
                 ldm_state.update(cast_type(te2, text_encoder_dtype))
+                te3 = replace_prefix(state, TE3_CKPT_PREFIX,
+                                     "text_encoders.t5xxl.transformer.")
+                te3 = {k: v for k, v in te3.items() if ".lora_" not in k}
+                if te3:
+                    ldm_state.update(cast_type(te3, text_encoder_dtype))
+        elif where_prefix(state, TE3_CKPT_PREFIX):
+            logger.warning(
+                "Checkpoint contains a T5 tower (condition_model.encoder_3.*)"
+                " but --text-encoder was not given; it is NOT included in the"
+                " published single file")
         save_state_dict(ldm_state, output, fmt)
         logger.info(f"Wrote {len(ldm_state)} tensors (SD3 single-file sgm "
                     f"layout) to {output}")

@@ -94,12 +94,20 @@ def _merge_checkpoint(models, ckpt_path: Path) -> dict:
 @click.option("--mmdit-head-dim", type=int, default=64, show_default=True,
               help="MMDiT attention head dim for SD3 single-file loads "
                    "(all SD3/SD3.5 releases use 64; override for minis)")
+@click.option("--pos-embed-max-size", type=int, default=None,
+              help="MMDiT sincos grid size for SD3 single-file checkpoints "
+                   "stripped of the pos_embed buffer (default 192 = SD3-Medium)")
 @click.option("--out", type=click.Path(path_type=Path), default=Path("samples"),
               show_default=True)
 def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
          seed, method, guidance_rescale, init_image, strength, clip_skip,
-         tokenizer_src, tokenizer_3_src, mmdit_head_dim, out):
+         tokenizer_src, tokenizer_3_src, mmdit_head_dim, pos_embed_max_size,
+         out):
     logging.basicConfig(level=logging.INFO)
+
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     from ..conf import Config, default, merge
     from ..convert.loader import load_components
@@ -111,6 +119,8 @@ def main(model, prompts, negative, ckpt, vae, num, steps, cfg, width, height,
         "vae": vae,
         "clip_stop_at_layer": int(clip_skip),
         "mmdit_head_dim": int(mmdit_head_dim),
+        **({"mmdit_pos_embed_max_size": int(pos_embed_max_size)}
+           if pos_embed_max_size else {}),
         **({"tokenizer": tokenizer_src} if tokenizer_src else {}),
         **({"tokenizer_3": tokenizer_3_src} if tokenizer_3_src else {}),
     }))

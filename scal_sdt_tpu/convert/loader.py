@@ -351,7 +351,8 @@ def _t5_config_from_state(t5: dict):
 
 def _load_sd3_single_file(state: dict,
                           vae_path: Optional[str] = None,
-                          head_dim: int = 64) -> LoadedModels:
+                          head_dim: int = 64,
+                          pos_embed_max_size: Optional[int] = None) -> LoadedModels:
     """SD3/SD3.5 single-file checkpoint (WebUI/ComfyUI distribution): MMDiT
     under ``model.diffusion_model.*`` (sgm joint_blocks naming), text towers
     under ``text_encoders.{clip_l,clip_g,t5xxl}.transformer.*`` (transformers
@@ -365,7 +366,8 @@ def _load_sd3_single_file(state: dict,
     )
 
     sgm = replace_prefix(state, "model.diffusion_model.")
-    mmdit_config = mmdit_config_from_sgm_state(sgm, head_dim=head_dim)
+    mmdit_config = mmdit_config_from_sgm_state(
+        sgm, head_dim=head_dim, pos_embed_max_size=pos_embed_max_size)
     mmdit = convert_mmdit_state_sgm_to_df(sgm)
     if "pos_embed.pos_embed" not in mmdit:
         # fixed sincos buffer, non-persistent in some exports
@@ -379,6 +381,10 @@ def _load_sd3_single_file(state: dict,
         vae_ldm = replace_prefix(vae_state, "first_stage_model.") or vae_state
     else:
         vae_ldm = replace_prefix(state, "first_stage_model.")
+    if not vae_ldm:
+        raise ValueError(
+            "SD3 single-file checkpoint has no bundled VAE "
+            "(first_stage_model.*); pass one via --vae / config.vae")
     vae_config = _vae_config_from_ldm_state(vae_ldm)
     vae = convert_vae_state_ldm_to_df(vae_ldm, vae_config)
 
@@ -474,11 +480,13 @@ def _load_sdxl_single_file(state: dict,
 
 def load_ldm_checkpoint(path: Path, ldm_config: Optional[Config] = None,
                         vae_path: Optional[str] = None,
-                        mmdit_head_dim: int = 64) -> LoadedModels:
+                        mmdit_head_dim: int = 64,
+                        mmdit_pos_embed_max_size: Optional[int] = None) -> LoadedModels:
     """Original-LDM single-file checkpoint (reference modules/model.py:96-123)."""
     state = load_state_dict(Path(path))
     if any(k.startswith("model.diffusion_model.joint_blocks.") for k in state):
-        return _load_sd3_single_file(state, vae_path, head_dim=mmdit_head_dim)
+        return _load_sd3_single_file(state, vae_path, head_dim=mmdit_head_dim,
+                                     pos_embed_max_size=mmdit_pos_embed_max_size)
     if any(k.startswith("conditioner.embedders.1.model.") for k in state):
         return _load_sdxl_single_file(state, ldm_config, vae_path)
     ldm_config = ldm_config if ldm_config is not None else get_ldm_config(None)
@@ -530,10 +538,13 @@ def load_components(config: Config) -> LoadedModels:
         raise ValueError("config.model is not set")
     p = Path(str(name))
     if p.is_file():
+        pe = config.get("mmdit_pos_embed_max_size")
         models = load_ldm_checkpoint(p, get_ldm_config(config.get("ldm_config")),
                                      config.get("vae"),
                                      mmdit_head_dim=int(
-                                         config.get("mmdit_head_dim") or 64))
+                                         config.get("mmdit_head_dim") or 64),
+                                     mmdit_pos_embed_max_size=(
+                                         int(pe) if pe else None))
     elif p.is_dir():
         models = load_diffusers_dir(p, config.get("vae"))
     else:

@@ -97,6 +97,35 @@ def _count_blocks(names: Iterable[str], pat: str) -> int:
     return max(idx) + 1 if idx else 0
 
 
+def _infer_inner_dim(state: dict) -> int | None:
+    """MMDiT width d from any tensor whose in_features is d. Every adaLN
+    head, attention projection, and the x_embedder all take d as the
+    contracting dim, so any of these suffices for partial states."""
+    for k, v in state.items():
+        if k.endswith((".adaLN_modulation.1.weight", "norm1.linear.weight",
+                       "norm1_context.linear.weight", "attn.to_q.weight",
+                       "attn.qkv.weight", "ff.net.2.weight", "mlp.fc2.weight")):
+            return int(np.asarray(v).shape[1])
+    return None
+
+
+def _ctx_adaln_is_continuous(state: dict, wkey: str, bkey: str,
+                             inner_dim: int | None, fallback: bool) -> bool:
+    """True iff the block's context adaLN head is the 2-chunk continuous
+    variant (the context_pre_only final block) rather than 6-chunk
+    AdaLayerNormZero — decided structurally from the head's own output dim
+    (2*d vs 6*d), NOT by block index, so partial trainable-only states whose
+    highest saved block is not the model's true final block convert
+    correctly. Falls back to the index heuristic only for a bias-only head
+    with no width-bearing tensor anywhere in the state."""
+    if wkey in state:
+        w = np.asarray(state[wkey])
+        return int(w.shape[0]) == 2 * int(w.shape[1])
+    if bkey in state and inner_dim:
+        return int(np.asarray(state[bkey]).shape[0]) == 2 * inner_dim
+    return fallback
+
+
 def convert_mmdit_state_sgm_to_df(state: dict) -> dict:
     """sgm MMDiT state (keys relative to ``model.diffusion_model.``) ->
     diffusers ``SD3Transformer2DModel`` naming (our canonical names)."""
@@ -121,9 +150,9 @@ def convert_mmdit_state_sgm_to_df(state: dict) -> dict:
         if k in state:
             out[f"norm_out.linear.{suffix}"] = _swap_scale_shift(take(k))
 
+    inner_dim = _infer_inner_dim(state)
     for i in range(n):
         pre_sgm, pre_df = f"joint_blocks.{i}.", f"transformer_blocks.{i}."
-        pre_only = i == n - 1
         for sgm_suf, df_suf in _BLOCK_DIRECT:
             k = pre_sgm + sgm_suf
             if k in state:
@@ -136,12 +165,17 @@ def convert_mmdit_state_sgm_to_df(state: dict) -> dict:
                     out[f"{pre_df}{q}.{wb}"] = parts[0]
                     out[f"{pre_df}{kk}.{wb}"] = parts[1]
                     out[f"{pre_df}{v}.{wb}"] = parts[2]
+        # context_pre_only (2-chunk continuous) adaLN is stored [shift,
+        # scale] in sgm -> [scale, shift] in diffusers; decided by the
+        # head's own 2*d-vs-6*d output dim, not by block index
+        pre_only = _ctx_adaln_is_continuous(
+            state, f"{pre_sgm}context_block.adaLN_modulation.1.weight",
+            f"{pre_sgm}context_block.adaLN_modulation.1.bias",
+            inner_dim, i == n - 1)
         for wb in ("weight", "bias"):
             k = f"{pre_sgm}context_block.adaLN_modulation.1.{wb}"
             if k in state:
                 val = take(k)
-                # final (context_pre_only) block: 2-chunk continuous adaLN,
-                # stored [shift, scale] in sgm -> [scale, shift] in diffusers
                 out[f"{pre_df}norm1_context.linear.{wb}"] = (
                     _swap_scale_shift(val) if pre_only else val)
 
@@ -172,9 +206,9 @@ def convert_mmdit_state_df_to_sgm(state: dict) -> dict:
             out[f"final_layer.adaLN_modulation.1.{suffix}"] = _swap_scale_shift(state[k])
             consumed.add(k)
 
+    inner_dim = _infer_inner_dim(state)
     for i in range(n):
         pre_sgm, pre_df = f"joint_blocks.{i}.", f"transformer_blocks.{i}."
-        pre_only = i == n - 1
         for sgm_suf, df_suf in _BLOCK_DIRECT:
             k = pre_df + df_suf
             if k in state:
@@ -194,6 +228,12 @@ def convert_mmdit_state_df_to_sgm(state: dict) -> dict:
                 out[f"{pre_sgm}{sgm_suf}.{wb}"] = np.concatenate(
                     [np.asarray(state[nm]) for nm in names], axis=0)
                 consumed.update(names)
+        # structural 2*d-vs-6*d decision (see sgm->df direction): a partial
+        # state's highest block need not be the model's final block
+        pre_only = _ctx_adaln_is_continuous(
+            state, f"{pre_df}norm1_context.linear.weight",
+            f"{pre_df}norm1_context.linear.bias",
+            inner_dim, i == n - 1)
         for wb in ("weight", "bias"):
             k = f"{pre_df}norm1_context.linear.{wb}"
             if k in state:
@@ -211,11 +251,14 @@ def convert_mmdit_state_df_to_sgm(state: dict) -> dict:
     return out
 
 
-def mmdit_config_from_sgm_state(state: dict, head_dim: int = 64):
+def mmdit_config_from_sgm_state(state: dict, head_dim: int = 64,
+                                pos_embed_max_size: int | None = None):
     """Infer MMDiTConfig from an sgm-layout MMDiT state dict's shapes
     (single-file checkpoints carry no config.json). Head dim 64 is fixed
     across all SD3/SD3.5 releases; the override exists for miniature test
-    fixtures."""
+    fixtures. ``pos_embed_max_size`` overrides the sincos-grid size for
+    checkpoints stripped of the fixed buffer (else it is read from the
+    buffer's shape, defaulting to SD3-Medium's 192 with a warning)."""
     from ..models.mmdit import MMDiTConfig
 
     xw = np.asarray(state["x_embedder.proj.weight"])
@@ -229,10 +272,23 @@ def mmdit_config_from_sgm_state(state: dict, head_dim: int = 64):
     if "pos_embed" in state:
         pos = np.asarray(state["pos_embed"])
         max_size = int(round(float(pos.shape[-2]) ** 0.5))
+        if pos_embed_max_size is not None and pos_embed_max_size != max_size:
+            raise ValueError(
+                f"pos_embed_max_size override {pos_embed_max_size} conflicts "
+                f"with the checkpoint's own sincos table ({max_size})")
+    elif pos_embed_max_size is not None:
+        max_size = int(pos_embed_max_size)
     else:
         # the sincos table is a fixed (non-persistent in some exports)
         # buffer; SD3-Medium's published crop size
         max_size = 192
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "sgm MMDiT state has no pos_embed buffer; defaulting "
+            "pos_embed_max_size=192 (SD3-Medium). Pass "
+            "mmdit_pos_embed_max_size in the config / --pos-embed-max-size "
+            "if this is a different variant.")
     cout = int(np.asarray(state["final_layer.linear.weight"]).shape[0]) // (ps * ps)
     return MMDiTConfig(
         patch_size=ps, in_channels=cin, out_channels=cout, num_layers=n,

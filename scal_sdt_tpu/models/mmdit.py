@@ -229,6 +229,13 @@ def cropped_pos_embed(pos: jnp.ndarray, h_p: int, w_p: int,
     """Center-crop the (1, max*max, D) table to the (h_p, w_p) patch grid
     (diffusers PatchEmbed.cropped_pos_embed)."""
     d = pos.shape[-1]
+    if h_p > max_size or w_p > max_size:
+        raise ValueError(
+            f"Latent patch grid {h_p}x{w_p} exceeds the model's sincos "
+            f"pos_embed table ({max_size}x{max_size}): the requested "
+            "resolution is larger than this MMDiT supports (raise "
+            "pos_embed_max_size / mmdit_pos_embed_max_size or sample "
+            "smaller)")
     grid = pos.reshape(max_size, max_size, d)
     top = (max_size - h_p) // 2
     left = (max_size - w_p) // 2
