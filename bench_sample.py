@@ -23,6 +23,24 @@ import time
 import numpy as np
 
 
+def sanity_gate(images: np.ndarray, where: str = "sample") -> None:
+    """Refuse to report a throughput number on degenerate output (VERDICT r3
+    item 7): a silent numeric regression (NaN/Inf, collapsed-to-constant, or
+    blown-up decode) must fail the bench, not keep it green."""
+    a = np.asarray(images, np.float64)
+    if not np.isfinite(a).all():
+        bad = int((~np.isfinite(a)).sum())
+        raise AssertionError(
+            f"{where}: {bad}/{a.size} non-finite values in decoded images")
+    if float(a.std()) < 1e-6:
+        raise AssertionError(
+            f"{where}: decoded images are constant (std={a.std():.3g})")
+    if float(np.abs(a).max()) > 1e4:
+        raise AssertionError(
+            f"{where}: implausible decode magnitude "
+            f"(max|x|={np.abs(a).max():.3g})")
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
@@ -41,14 +59,23 @@ def main():
     from scal_sdt_tpu.models.unet import UNetConfig, unet_param_shapes
     from scal_sdt_tpu.models.vae import VAEConfig, decoder_apply, vae_param_shapes
 
-    BATCH = int(os.environ.get("SSDT_BENCH_SAMPLE_BATCH", 4))
-    STEPS = int(os.environ.get("SSDT_BENCH_SAMPLE_STEPS", 20))
-    RES = int(os.environ.get("SSDT_BENCH_SAMPLE_RES", 512))
-    REPS = int(os.environ.get("SSDT_BENCH_SAMPLE_REPS", 3))
+    # SSDT_BENCH_SAMPLE_TINY=1: CPU smoke mode (tiny UNet, 8px) proving the
+    # bench path incl. the sanity gate; numbers are meaningless.
+    TINY = os.environ.get("SSDT_BENCH_SAMPLE_TINY") == "1"
+    if TINY:
+        jax.config.update("jax_platforms", "cpu")
+    BATCH = int(os.environ.get("SSDT_BENCH_SAMPLE_BATCH", 2 if TINY else 4))
+    STEPS = int(os.environ.get("SSDT_BENCH_SAMPLE_STEPS", 3 if TINY else 20))
+    RES = int(os.environ.get("SSDT_BENCH_SAMPLE_RES", 64 if TINY else 512))
+    REPS = int(os.environ.get("SSDT_BENCH_SAMPLE_REPS", 1 if TINY else 3))
     METHODS = os.environ.get("SSDT_BENCH_SAMPLE_METHODS", "ddim,dpmpp_2m").split(",")
+    # SSDT_BENCH_SAMPLE_INJECT_NAN=1: poison the decode (gate self-test —
+    # the bench MUST exit non-zero; used by tests/test_bench_gates.py)
+    INJECT = os.environ.get("SSDT_BENCH_SAMPLE_INJECT_NAN") == "1"
 
-    unet_config = UNetConfig.sd15()
-    vae_config = VAEConfig.sd15()
+    unet_config = UNetConfig.tiny() if TINY else UNetConfig.sd15()
+    vae_config = (VAEConfig(block_out_channels=(8, 8), layers_per_block=1,
+                            norm_num_groups=4) if TINY else VAEConfig.sd15())
     spec = SamplerSpec(unet_config=unet_config, vae_config=vae_config,
                        clip_config=CLIPTextConfig.vit_l(),
                        schedule=NoiseSchedule(), dtype=jnp.bfloat16)
@@ -61,8 +88,9 @@ def main():
                for k, s in vae_param_shapes(vae_config).items()
                if k.startswith(("decoder.", "post_quant_conv."))}
 
-    cond = jnp.full((BATCH, 77, 768), 0.01, jnp.bfloat16)
-    uncond = jnp.zeros((BATCH, 77, 768), jnp.bfloat16)
+    xdim = unet_config.cross_attention_dim
+    cond = jnp.full((BATCH, 77, xdim), 0.01, jnp.bfloat16)
+    uncond = jnp.zeros((BATCH, 77, xdim), jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
 
     fns = {"ddim": ddim_sample_latents,
@@ -78,14 +106,18 @@ def main():
             images = decoder_apply(vae_dec,
                                    latents / vae_config.scaling_factor,
                                    vae_config)
-            return np.asarray(images)  # host fetch = true barrier
+            out = np.asarray(images)  # host fetch = true barrier
+            if INJECT:
+                out = out.copy()
+                out.flat[::97] = np.nan
+            return out
 
-        run(rng)  # compile + layout warmup
+        sanity_gate(run(rng), f"{method} warmup")  # compile + layout warmup
         t0 = time.perf_counter()
         for i in range(REPS):
             out = run(jax.random.fold_in(rng, i))
         dt = time.perf_counter() - t0
-        assert np.isfinite(out.astype(np.float64)).all()
+        sanity_gate(out, method)
         ipm = BATCH * REPS / dt * 60.0
         print(json.dumps({
             "metric": f"sample_images_per_min_{RES}_{STEPS}steps_{method.strip()}",
