@@ -40,19 +40,14 @@ def load_model(model_path: Path):
     return model, tags
 
 
-def tag_image(model, tags, pil_image, threshold: float, alpha_sort: bool,
-              use_spaces: bool, use_escape: bool, include_ranks: bool) -> str:
-    import deepdanbooru as dd
-    import tensorflow as tf
-
-    width, height = model.input_shape[2], model.input_shape[1]
-    image = np.array(pil_image)
-    image = tf.image.resize(image, size=(height, width),
-                            method=tf.image.ResizeMethod.AREA,
-                            preserve_aspect_ratio=True).numpy()
-    image = dd.image.transform_and_pad_image(image, width, height) / 255.0
-
-    probs = model.predict(image[np.newaxis, ...])[0]
+def format_tags(tags, probs, threshold: float, alpha_sort: bool,
+                use_spaces: bool, use_escape: bool,
+                include_ranks: bool) -> str:
+    """Pure tag selection + formatting (reference deepdanbooru_label.py
+    semantics: threshold filter, rating:* exclusion, probability or
+    alphabetic order, underscore->space, ()\\ escaping, optional
+    (tag:prob) ranks). Split from the TF preprocessing so it is testable
+    without tensorflow/deepdanbooru installed."""
     found = [(tag, float(p)) for tag, p in zip(tags, probs)
              if p >= threshold and not tag.startswith("rating:")]
     found.sort(key=lambda t: t[0] if alpha_sort else -t[1])
@@ -65,6 +60,30 @@ def tag_image(model, tags, pil_image, threshold: float, alpha_sort: bool,
             tag = _RE_SPECIAL.sub(r"\\\1", tag)
         parts.append(f"({tag}:{p:.3f})" if include_ranks else tag)
     return ", ".join(parts)
+
+
+def _preprocess(pil_image, width: int, height: int) -> np.ndarray:
+    """AREA-resample to fit (width, height) preserving aspect, pad, scale to
+    [0,1] — DeepDanbooru's canonical input transform (TF required)."""
+    import deepdanbooru as dd
+    import tensorflow as tf
+
+    image = np.array(pil_image)
+    image = tf.image.resize(image, size=(height, width),
+                            method=tf.image.ResizeMethod.AREA,
+                            preserve_aspect_ratio=True).numpy()
+    return dd.image.transform_and_pad_image(image, width, height) / 255.0
+
+
+def tag_image(model, tags, pil_image, threshold: float, alpha_sort: bool,
+              use_spaces: bool, use_escape: bool, include_ranks: bool,
+              preprocess=None) -> str:
+    width, height = model.input_shape[2], model.input_shape[1]
+    # late-bound default so tests can monkeypatch module-level _preprocess
+    image = (preprocess or _preprocess)(pil_image, width, height)
+    probs = model.predict(image[np.newaxis, ...])[0]
+    return format_tags(tags, probs, threshold, alpha_sort, use_spaces,
+                       use_escape, include_ranks)
 
 
 @click.command()
