@@ -285,6 +285,10 @@ def main(config_file: IO[str], no_conds: bool, aug_group_size: int, batch_size: 
     """Generate the latent/condition cache at config entry data.cache."""
     import jax
 
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from ..convert.loader import load_components
     from ..text.tokenizer import resolve_tokenizer
 

@@ -52,6 +52,10 @@ def get_delta_dist(current: dict[Size, float], target: dict[Size, float]) -> dic
 @click.option("--config", "config_file", type=click.File("r"), required=True)
 def main(config_file: IO[str]):
     import jax
+
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     from PIL import Image
 
     from ..convert.loader import load_components

@@ -110,11 +110,27 @@ def main(config_path: Optional[Path], run_id: Optional[str],
 
             config.batch_size = tune_batch_size(config, config_path)
 
+    # Persistent XLA compile cache (utils/compile_cache.py): bounds the
+    # per-bucket-shape cold-compile cost of ARB runs to the first run ever.
+    # Opt out with trainer.compilation_cache: false.
+    if config.trainer.get("compilation_cache", True):
+        from ..utils.compile_cache import enable_persistent_compilation_cache
+
+        cache_dir = enable_persistent_compilation_cache(
+            config.trainer.get("compilation_cache_dir"))
+        logger.info(f"Persistent XLA compile cache: {cache_dir}")
+
     trainer = Trainer(config, run_dir)
     if resume_ckpt_path is not None:
         trainer.resume(resume_ckpt_path)
 
     conf.save(config, run_dir / "config.yaml")
+
+    # AOT-compile every ARB bucket shape up front (no-op for fixed-res runs)
+    # so no mid-epoch stall when a new bucket first appears. Opt out with
+    # trainer.aot_bucket_warmup: false.
+    if config.trainer.get("aot_bucket_warmup", True):
+        trainer.aot_warmup_buckets(log_fn=logger.info)
 
     trainer.fit(sample_callback=SampleCallback(run_dir / "samples"))
 

@@ -129,9 +129,17 @@ class BucketManager:
         self.buckets = [Bucket(size) for size in
                         gen_bucket_resolutions(tuple(base_res), max_size, tuple(dim_range), divisor)]
 
-    def resolutions(self) -> list[Size]:
-        """All sizes a batch may take (the XLA compile-cache key set)."""
-        sizes = [b.size for b in self.buckets]
+    def resolutions(self, nonempty_only: bool = False) -> list[Size]:
+        """All sizes a batch may take (the XLA compile-cache key set).
+
+        ``nonempty_only`` (after ``put_in``): only buckets that actually
+        hold images, plus the base resolution (leftover batches always run
+        at base res) — the exact set the AOT bucket warmup must compile;
+        empty buckets can never produce a batch."""
+        buckets = self.buckets
+        if nonempty_only:
+            buckets = [b for b in buckets if b.ids]
+        sizes = [b.size for b in buckets]
         if self.base_res and self.base_res not in sizes:
             sizes.append(self.base_res)
         return sizes

@@ -61,7 +61,7 @@ class StepSpec:
     schedule: NoiseSchedule
     compute_dtype: Any
     clip_stop_at_layer: int = 1
-    remat: object = False     # False | True | 'high' (see unet_apply)
+    remat: object = False     # False | True | 'high' | 'top' (see unet_apply)
     uncond_enabled: bool = False
     uncond_p: float = 0.1
     uncond_mode: str = "zeros"        # 'zeros' | 'eos'
@@ -116,7 +116,8 @@ class StepSpec:
             compute_dtype=compute,
             clip_stop_at_layer=int(config.get("clip_stop_at_layer", 1)),
             remat=(config.get("gradient_checkpointing", False)
-                   if config.get("gradient_checkpointing") in (True, False, "high")
+                   if config.get("gradient_checkpointing")
+                   in (True, False, "high", "top")
                    else bool(config.get("gradient_checkpointing"))),
             uncond_enabled=bool(config.uncond.get("enabled", False)),
             uncond_p=float(config.uncond.get("p", 0.1)),
@@ -443,9 +444,29 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
     def _apply_update(trainable: Params, opt_state, ema, step, rng,
                       grads: Params):
         updates, opt_state = tx.update(grads, opt_state, trainable)
-        trainable = jax.tree.map(
-            lambda p, u: (p + u.astype(p.dtype)).astype(p.dtype),
-            trainable, updates)
+        if any(v.dtype == jnp.bfloat16 for v in trainable.values()):
+            # bf16 masters (optimizer.master_dtype: bf16): the per-step
+            # update is far below the bf16 ulp, so a plain cast-add would
+            # freeze training — add in fp32 and STOCHASTIC-round back
+            # (unbiased, same machinery as the bf16 EMA shadow). Halves
+            # master HBM and kills the fp32->bf16 compute-cast traffic.
+            from .ema import stochastic_round_bf16
+
+            sr_rng = jax.random.fold_in(jax.random.fold_in(rng, step), 2)
+            new = {}
+            for i, k in enumerate(sorted(trainable)):
+                p, u = trainable[k], updates[k]
+                if p.dtype == jnp.bfloat16:
+                    new[k] = stochastic_round_bf16(
+                        p.astype(jnp.float32) + u.astype(jnp.float32),
+                        jax.random.fold_in(sr_rng, i))
+                else:
+                    new[k] = (p + u.astype(p.dtype)).astype(p.dtype)
+            trainable = new
+        else:
+            trainable = jax.tree.map(
+                lambda p, u: (p + u.astype(p.dtype)).astype(p.dtype),
+                trainable, updates)
 
         if ema_enabled and ema is not None:
             unet_trainable = {k: v for k, v in trainable.items()
@@ -486,12 +507,14 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
         metrics["lr"] = lr
         return new_state, metrics
 
+    def _fuse_for(trainable: Params) -> bool:
+        if fuse_update is not None:
+            return fuse_update
+        n = sum(int(v.size) for v in trainable.values())
+        return n <= FUSE_UPDATE_MAX_ELEMS
+
     def train_step(state: TrainState, frozen: Params, batch: dict):
-        fuse = fuse_update
-        if fuse is None:
-            n = sum(int(v.size) for v in state.trainable.values())
-            fuse = n <= FUSE_UPDATE_MAX_ELEMS
-        if fuse:
+        if _fuse_for(state.trainable):
             return fused_step(state, frozen, batch)
         grads, metrics = grad_step(state.trainable, frozen, batch,
                                    state.rng, state.step)
@@ -501,6 +524,20 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
         metrics["lr"] = lr
         return state, metrics
 
+    def aot_lower(state, frozen: Params, batch: dict):
+        """Lower (without executing) the batch-shape-dependent program for
+        AOT bucket warmup: accepts ShapeDtypeStructs. Compiling the result
+        populates the persistent XLA compile cache so the first real step
+        at each ARB bucket shape is a disk hit, not a cold compile
+        (SURVEY §7.3(2); replaces the reference's `benchmark=not arb`
+        dodge, /root/reference/train.py:106). The update program is
+        batch-shape-independent and compiles once on the first real step."""
+        if _fuse_for(state.trainable):
+            return fused_step.lower(state, frozen, batch)
+        return grad_step.lower(state.trainable, frozen, batch,
+                               state.rng, state.step)
+
+    train_step.aot_lower = aot_lower
     return train_step
 
 
