@@ -12,6 +12,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 
 def _free_port() -> int:
     with socket.socket() as s:
@@ -19,6 +21,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_distributed(tmp_path):
     worker = Path(__file__).parent / "two_process_worker.py"
     repo = Path(__file__).resolve().parent.parent
@@ -43,7 +46,7 @@ def test_two_process_distributed(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -52,3 +55,6 @@ def test_two_process_distributed(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"two_process_worker[{i}]: ok" in out
+        for family in ("sd15", "sdxl", "sd3"):
+            assert f"two_process_worker[{i}]: {family} equivalence ok" in out, \
+                f"worker {i} missing {family} leg:\n{out}"

@@ -9,7 +9,13 @@ the REAL multi-host code paths that single-process tests can only fake:
    2-device data mesh (one device per process, so arrays are NOT fully
    addressable and ``_to_host`` must take the collective gather path);
 3. per-process ARB sharding agreement: both ranks must partition ids
-   identically and disjointly without communication.
+   identically and disjointly without communication;
+4. train-step LOSS EQUIVALENCE across processes for all three model
+   families (VERDICT r3 item 5): the same seed + global batch stepped on a
+   per-process local 1-device mesh must agree with the cross-process
+   data=2 mesh (SD1.5, SDXL, SD3-flow) and with a cross-process
+   data=1 x fsdp=2 mesh (SD1.5) — real multi-controller jit + psum, not
+   the single-process virtual-mesh dryrun.
 
 Replaces what the reference gets from NCCL all-gather + Lightning rank
 handling (/root/reference/cache.py:25-41). Exits 0 on success; any
@@ -108,7 +114,150 @@ def main() -> None:
     # 11 ids truncate to a batch*world multiple (reference sharding math)
     assert len(mine) + len(other) == 8, (mine, other)
 
+    # -- 4. cross-process train-step loss equivalence (three families) ------
+    import jax.numpy as jnp  # noqa: F811 (clarity)
+
+    from scal_sdt_tpu.parallel.mesh import make_mesh as _mk
+
+    rng_np = np.random.RandomState(0)
+    global_batch = 2
+    images_np = rng_np.uniform(-1, 1, (global_batch, 32, 32, 3)).astype(np.float32)
+    ids_np = rng_np.randint(0, 1000, (global_batch, 77)).astype(np.int32)
+    t5_np = np.random.RandomState(3).randint(
+        0, 1000, ids_np.shape).astype(np.int32)
+
+    local_mesh = _mk(data=1, fsdp=1, devices=[jax.local_devices()[0]])
+    dp_mesh = _mk(data=2, fsdp=1, devices=jax.devices())
+    fsdp_mesh = _mk(data=1, fsdp=2, devices=jax.devices())
+
+    for family, meshes in (("sd15", [dp_mesh, fsdp_mesh]),
+                           ("sdxl", [dp_mesh]),
+                           ("sd3", [dp_mesh])):
+        ref_loss, ref_norm = _family_step(family, local_mesh, images_np,
+                                          ids_np, t5_np)
+        for mesh in meshes:
+            loss, norm = _family_step(family, mesh, images_np, ids_np, t5_np)
+            kind = "x".join(f"{a}={mesh.shape[a]}" for a in ("data", "fsdp"))
+            np.testing.assert_allclose(
+                loss, ref_loss, rtol=5e-5,
+                err_msg=f"{family} loss mismatch on {kind} vs local 1-device")
+            np.testing.assert_allclose(
+                norm, ref_norm, rtol=5e-6,
+                err_msg=f"{family} updated-norm mismatch on {kind}")
+        print(f"two_process_worker[{proc_id}]: {family} equivalence ok "
+              f"(loss {ref_loss:.4f})")
+
     print(f"two_process_worker[{proc_id}]: ok")
+
+
+def _family_step(family: str, mesh, images_np, ids_np, t5_np):
+    """Build a tiny `family` model (deterministic across processes) and run
+    ONE train step on `mesh`. Every input is placed with
+    ``jax.make_array_from_callback`` so the identical code serves the local
+    1-device mesh and cross-process meshes (where arrays are not fully
+    addressable). Returns (loss, updated-trainable global L2 norm)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helpers import tiny_models, tiny_sd3_models, tiny_sdxl_models
+    from scal_sdt_tpu.conf import Config, default, load_optim_target, merge
+    from scal_sdt_tpu.parallel.mesh import (
+        batch_sharding, param_sharding, replicated, set_active_mesh,
+    )
+    from scal_sdt_tpu.training.optim_targets import (
+        group_labels, resolve_optim_target,
+    )
+    from scal_sdt_tpu.training.optimizers import build_optimizer
+    from scal_sdt_tpu.training.step import (
+        StepSpec, TE2_PREFIX, TE3_PREFIX, TE_PREFIX, UNET_PREFIX, VAE_PREFIX,
+        init_train_state, make_train_step,
+    )
+
+    def put(arr, sharding):
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(arr.shape, sharding,
+                                            lambda idx: arr[idx])
+
+    models = {"sd15": tiny_models, "sdxl": tiny_sdxl_models,
+              "sd3": tiny_sd3_models}[family]()
+    config = merge(default(), Config({
+        "batch_size": images_np.shape[0],
+        "trainer": {"precision": 32, "param_packing": False},
+        "optimizer": {
+            "name": "adamw",
+            "params": {"lr": 1e-4, "beta1": 0.9, "beta2": 0.999,
+                       "weight_decay": 1e-2, "eps": 1e-8},
+            "lr_scale": {"enabled": False},
+        },
+    }))
+    resolutions = resolve_optim_target(
+        load_optim_target("full_unet"), models.unet.keys(),
+        models.clip.keys(),
+        text_encoder_2_keys=(models.clip2.keys()
+                             if models.clip2 is not None else None))
+    labels = group_labels(resolutions)
+    overrides = {f"g{i}": g.optimizer
+                 for i, g in enumerate(resolutions["unet"].groups)}
+    trainable_names = set(resolutions["unet"].trainable)
+    trainable = {f"{UNET_PREFIX}.{k}": np.asarray(v, np.float32)
+                 for k, v in models.unet.items() if k in trainable_names}
+    frozen = {f"{UNET_PREFIX}.{k}": np.asarray(v)
+              for k, v in models.unet.items() if k not in trainable_names}
+    frozen.update({f"{TE_PREFIX}.{k}": np.asarray(v)
+                   for k, v in models.clip.items()})
+    if models.clip2 is not None:
+        frozen.update({f"{TE2_PREFIX}.{k}": np.asarray(v)
+                       for k, v in models.clip2.items()})
+    if getattr(models, "t5", None) is not None:
+        frozen.update({f"{TE3_PREFIX}.{k}": np.asarray(v)
+                       for k, v in models.t5.items()})
+    frozen.update({f"{VAE_PREFIX}.{k}": np.asarray(v)
+                   for k, v in models.vae.items()})
+
+    tx, lr_fn = build_optimizer(config, labels, overrides, 10, 1)
+    spec = StepSpec.from_config(
+        config, models.unet_config, models.clip_config, models.vae_config,
+        train_text_encoder=False, schedule=models.schedule,
+        clip2_config=models.clip2_config,
+        mmdit_config=models.mmdit_config,
+        t5_config=(models.t5_config
+                   if getattr(models, "t5", None) is not None else None))
+
+    set_active_mesh(mesh)
+    step_fn = make_train_step(spec, tx, lr_fn, ema_enabled=False, donate=True)
+    with mesh:
+        t_dev = {k: put(v, param_sharding(mesh, k, tuple(v.shape)))
+                 for k, v in trainable.items()}
+        f_dev = {k: put(v, param_sharding(mesh, k, tuple(v.shape)))
+                 for k, v in frozen.items()}
+        state = init_train_state(jax.random.PRNGKey(0), t_dev, tx,
+                                 ema_enabled=False, ema_decay=0.995)
+        bs = batch_sharding(mesh)
+        if family == "sd3":
+            # tiny MMDiT's 2x2 patch grid needs even latent dims: 16x16 crop
+            batch = {"images": put(images_np[:, :16, :16], bs),
+                     "input_ids": put(ids_np, bs),
+                     "t5_ids": put(t5_np, bs)}
+        elif family == "sdxl":
+            size_cond = np.tile(np.asarray([[48, 64, 0, 3]], np.int32),
+                                (images_np.shape[0], 1))
+            batch = {"images": put(images_np, bs),
+                     "input_ids": put(ids_np, bs),
+                     "size_cond": put(size_cond, bs)}
+        else:
+            batch = {"images": put(images_np, bs),
+                     "input_ids": put(ids_np, bs)}
+        state, metrics = step_fn(state, f_dev, batch)
+        loss = float(np.asarray(metrics["train_loss"]))
+        # per-leaf fp32 sums on device (replicated outputs), fp64 host
+        # accumulation — avoids x64 jit while keeping 5e-6 comparability
+        leaf_sq = jax.jit(lambda t: {k: jnp.sum(jnp.square(v))
+                                     for k, v in t.items()})(state.trainable)
+        norm = float(np.sqrt(sum(float(np.asarray(v))
+                                 for v in leaf_sq.values())))
+    set_active_mesh(None)
+    return loss, norm
 
 
 if __name__ == "__main__":
