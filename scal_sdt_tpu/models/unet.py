@@ -333,17 +333,22 @@ def unet_apply(params: Params, sample: jnp.ndarray, timesteps: jnp.ndarray,
     embedding of text encoder 2, 'time_ids': (B, 6) float
     [orig_h, orig_w, crop_top, crop_left, target_h, target_w]}.
 
-    remat: False | True | 'high'. 'high' rematerialises only the
-    highest-resolution blocks (first down / last up) — they hold most of the
-    activation memory but a minority of the FLOPs, so this recovers most of
-    full remat's memory saving at a fraction of the recompute cost.
+    remat: False | True | 'high' | 'top'. 'high' rematerialises only the
+    highest-resolution blocks (first down / last two up) — they hold most of
+    the activation memory but a minority of the FLOPs, so this recovers most
+    of full remat's memory saving at a fraction of the recompute cost.
+    'top' is the minimal selective policy: ONLY the single highest-res up
+    level (plus the first down level) — the smallest recompute that frees
+    the top-resolution activations, sized for "almost fits" cases like the
+    +1.7 GB EMA shadow at batch 8 (VERDICT r3 item 1).
     """
     g = config.norm_num_groups
     n_down = len(config.down_block_types)
     n_up = len(config.up_block_types)
 
-    def maybe_ckpt(fn, high_res: bool = False):
-        if remat is True or (remat == "high" and high_res):
+    def maybe_ckpt(fn, high_res: bool = False, top_res: bool = False):
+        if (remat is True or (remat == "high" and high_res)
+                or (remat == "top" and top_res)):
             return jax.checkpoint(fn)
         return fn
 
@@ -394,7 +399,8 @@ def unet_apply(params: Params, sample: jnp.ndarray, timesteps: jnp.ndarray,
                         config.heads_at(i), g)
                 return h_
 
-            h = maybe_ckpt(down_unit, high_res=(i == 0))(h, temb, context)
+            h = maybe_ckpt(down_unit, high_res=(i == 0),
+                           top_res=(i == 0))(h, temb, context)
             skips.append(h)
         if f"down_blocks.{i}.downsamplers.0.conv.weight" in params:
             h = conv2d(params, f"down_blocks.{i}.downsamplers.0.conv", h, stride=2)
@@ -425,7 +431,8 @@ def unet_apply(params: Params, sample: jnp.ndarray, timesteps: jnp.ndarray,
                         config.heads_at(n_up - 1 - i), g)
                 return h_
 
-            h = maybe_ckpt(up_unit, high_res=(i >= n_up - 2))(h, skip, temb, context)
+            h = maybe_ckpt(up_unit, high_res=(i >= n_up - 2),
+                           top_res=(i == n_up - 1))(h, skip, temb, context)
         if f"up_blocks.{i}.upsamplers.0.conv.weight" in params:
             h = _upsample_nearest(h)
             h = conv2d(params, f"up_blocks.{i}.upsamplers.0.conv", h)

@@ -190,7 +190,11 @@ def restore_train_state(path: Path, template_state: TrainState,
         tmpl_slabs = {k: np.asarray(trainable[k])
                       for k in pack_spec.container_keys if k in trainable}
         trainable_np = repack_host(trainable_np, pack_spec, tmpl_slabs)
-    sharded = {k: v for k, v in trainable_np.items()
+    # cast to the template's dtype: a bf16-master state (optimizer.
+    # master_dtype: bf16) must not silently pick up fp32 leaves from an
+    # old checkpoint (and vice versa) — the compiled step is dtype-exact
+    sharded = {k: np.asarray(v).astype(trainable[k].dtype)
+               for k, v in trainable_np.items()
                if k in trainable and isinstance(trainable[k], jax.Array)}
     put = jax.device_put(
         sharded, {k: trainable[k].sharding for k in sharded})
