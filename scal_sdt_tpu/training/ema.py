@@ -37,6 +37,18 @@ class EMAState(NamedTuple):
     decay: jnp.ndarray        # float32 scalar
 
 
+def hw_dither_key(key: jax.Array) -> jax.Array:
+    """Derive a hardware-RNG (unsafe_rbg) key from a threefry key.
+
+    The SR dithers draw 16 random bits per element over the full 859M-param
+    set each step; XLA's RngBitGenerator path is ~1.5x cheaper than
+    threefry at that scale on the v5e VPU (measured 27 vs 40 ms per draw).
+    unsafe_rbg's weaker fold_in/statistical guarantees are irrelevant for
+    rounding dither — only per-element uniformity matters."""
+    seed = jax.random.bits(key, (), jnp.uint32)
+    return jax.random.key(seed, impl="unsafe_rbg")
+
+
 def stochastic_round_bf16(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     """fp32 -> bf16 with stochastic rounding (unbiased: E[out] == x).
 

@@ -450,9 +450,10 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
             # freeze training — add in fp32 and STOCHASTIC-round back
             # (unbiased, same machinery as the bf16 EMA shadow). Halves
             # master HBM and kills the fp32->bf16 compute-cast traffic.
-            from .ema import stochastic_round_bf16
+            from .ema import hw_dither_key, stochastic_round_bf16
 
-            sr_rng = jax.random.fold_in(jax.random.fold_in(rng, step), 2)
+            sr_rng = hw_dither_key(
+                jax.random.fold_in(jax.random.fold_in(rng, step), 2))
             new = {}
             for i, k in enumerate(sorted(trainable)):
                 p, u = trainable[k], updates[k]
@@ -471,8 +472,12 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
         if ema_enabled and ema is not None:
             unet_trainable = {k: v for k, v in trainable.items()
                               if k.startswith(UNET_PREFIX + ".")}
-            # distinct stream from the grad program's fold_in(rng, step)
-            ema_rng = jax.random.fold_in(jax.random.fold_in(rng, step), 1)
+            # distinct stream from the grad program's fold_in(rng, step);
+            # hw-RNG key: the bf16-shadow SR dither is a full-param draw
+            from .ema import hw_dither_key
+
+            ema_rng = hw_dither_key(
+                jax.random.fold_in(jax.random.fold_in(rng, step), 1))
             ema = ema_update(ema, unet_trainable, rng=ema_rng)
 
         lr = lr_fn(step)
