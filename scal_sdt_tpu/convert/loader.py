@@ -526,6 +526,36 @@ def load_ldm_checkpoint(path: Path, ldm_config: Optional[Config] = None,
     return LoadedModels(unet, unet_config, vae, vae_config, clip, clip_config, schedule)
 
 
+def _resolve_hub_id(name: str) -> Path:
+    """HF hub id -> local diffusers directory (reference modules/model.py:81-93
+    passes hub ids straight to ``from_pretrained``). Resolution order:
+    1. the local HF cache (``snapshot_download(local_files_only=True)``) —
+       works fully offline when the model was ever downloaded before;
+    2. a network download when egress exists.
+    Raises an actionable error naming both failures otherwise."""
+    if "/" not in name or name.startswith((".", "/")):
+        raise FileNotFoundError(
+            f"Model '{name}' not found locally and is not a hub id "
+            "(expected 'org/name')")
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError as e:  # pragma: no cover - hub ships with transformers
+        raise FileNotFoundError(
+            f"Model '{name}' not found locally and huggingface_hub is not "
+            "installed") from e
+    try:
+        return Path(snapshot_download(name, local_files_only=True))
+    except Exception:
+        pass
+    try:
+        return Path(snapshot_download(name))
+    except Exception as e:
+        raise FileNotFoundError(
+            f"Model '{name}' is neither a local path, nor in the local HF "
+            f"cache, nor downloadable ({type(e).__name__}: {e}) — pass a "
+            "local diffusers directory or LDM file instead") from e
+
+
 def load_components(config: Config) -> LoadedModels:
     """Dispatch on config.model like the reference (modules/model.py:126-133).
 
@@ -548,8 +578,8 @@ def load_components(config: Config) -> LoadedModels:
     elif p.is_dir():
         models = load_diffusers_dir(p, config.get("vae"))
     else:
-        raise FileNotFoundError(
-            f"Model '{name}' not found locally (hub download unavailable offline)")
+        models = load_diffusers_dir(
+            _resolve_hub_id(str(name)), config.get("vae"))
 
     overrides = dict(config.get("schedule") or {})
     if overrides:
