@@ -35,10 +35,13 @@ import numpy as np
 
 def run(model_path: str, batch: int = 4, res: int = 512,
         out: str | None = "loss_parity_batch.npz",
-        oracle: str | None = None, seed: int = 0) -> dict:
+        oracle: str | None = None, seed: int = 0,
+        ldm_config: str | None = None) -> dict:
     """Load `model_path` (LDM file or diffusers dir), compute the fp32
     epsilon-loss on a frozen numpy batch, optionally compare against the
-    in-repo torch oracle. Returns {'loss_ours', 'loss_torch'?, 'delta'?}."""
+    in-repo torch oracle. Returns {'loss_ours', 'loss_torch'?, 'delta'?}.
+    `ldm_config`: CompVis architecture yaml for single-file checkpoints
+    (default: the bundled SD v1-inference.yaml — real SD1.5)."""
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
@@ -46,7 +49,7 @@ def run(model_path: str, batch: int = 4, res: int = 512,
     from scal_sdt_tpu.convert.loader import load_components
 
     models = load_components(Config({"model": str(model_path), "vae": None,
-                                     "ldm_config": None}))
+                                     "ldm_config": ldm_config}))
     config = models.unet_config
     rng = np.random.RandomState(seed)
     latents = rng.randn(batch, res // 8, res // 8,

@@ -58,15 +58,38 @@ def test_harness_single_file_checkpoint(tmp_path):
     path = tmp_path / "tiny_sd.safetensors"
     save_state_dict(state, path)
 
+    # single-file load derives the architecture from an LDM yaml (default:
+    # real SD1.5); describe the tiny fixture in CompVis terms
+    ldm_yaml = tmp_path / "tiny-inference.yaml"
+    ldm_yaml.write_text("""
+model:
+  params:
+    linear_start: 0.00085
+    linear_end: 0.012
+    timesteps: 1000
+    unet_config:
+      params:
+        in_channels: 4
+        out_channels: 4
+        model_channels: 32
+        channel_mult: [1, 2]
+        num_res_blocks: 1
+        num_heads: 2
+        context_dim: 32
+        attention_resolutions: [1]
+    first_stage_config:
+      params:
+        ddconfig:
+          in_channels: 3
+          out_ch: 3
+          z_channels: 4
+          ch: 16
+          ch_mult: [1, 2]
+          num_res_blocks: 1
+          num_groups: 8
+""")
     from lab.loss_parity import run
 
-    # single-file load derives the architecture from the default ldm yaml,
-    # which describes real SD1.5 — tiny fixtures only work when the loader
-    # can infer shapes instead. Skip if the tiny single-file layout cannot
-    # be round-tripped by the default config (then the diffusers-dir test
-    # above is the harness proof).
-    try:
-        result = run(str(path), batch=2, res=64, out=None, oracle="torch")
-    except Exception as e:
-        pytest.skip(f"tiny single-file needs explicit ldm yaml: {e}")
+    result = run(str(path), batch=2, res=64, out=None, oracle="torch",
+                 ldm_config=str(ldm_yaml))
     assert result["delta"] < 1e-5
