@@ -516,7 +516,11 @@ def load_ldm_checkpoint(path: Path, ldm_config: Optional[Config] = None,
     else:
         clip = replace_prefix(state, "cond_stage_model.transformer.")
         clip.pop("text_model.embeddings.position_ids", None)
-        clip_config = CLIPTextConfig.vit_l()
+        # SD1.x bundles ViT-L (quick_gelu): shape inference reproduces
+        # CLIPTextConfig.vit_l() exactly for real checkpoints while also
+        # accepting deviating towers (miniature fixtures, community mixes)
+        clip_config = (_clip_config_from_state(clip, hidden_act="quick_gelu")
+                       if clip else CLIPTextConfig.vit_l())
 
     schedule = NoiseSchedule.from_ldm_config(ldm_config)
 

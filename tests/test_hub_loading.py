@@ -28,12 +28,26 @@ def _fabricate_hf_cache(hf_home: Path, repo_id: str, model_dir: Path) -> None:
     shutil.copytree(model_dir, repo / "snapshots" / rev)
 
 
+def _point_hub_cache(monkeypatch, hf_home: Path) -> None:
+    """Redirect the HF cache for this test. huggingface_hub freezes HF_HOME
+    into module constants at import time, so when another test already
+    imported it (e.g. via transformers) the env var alone is ignored —
+    patch the constants that snapshot_download actually reads."""
+    monkeypatch.setenv("HF_HOME", str(hf_home))
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    from huggingface_hub import constants
+
+    cache = str(hf_home / "hub")
+    monkeypatch.setattr(constants, "HF_HUB_CACHE", cache, raising=False)
+    monkeypatch.setattr(constants, "HUGGINGFACE_HUB_CACHE", cache,
+                        raising=False)
+
+
 def test_hub_id_resolves_from_local_cache(tmp_path, monkeypatch):
     model_dir = write_diffusers_dir(tiny_models(), tmp_path / "model")
     hf_home = tmp_path / "hf"
     _fabricate_hf_cache(hf_home, "acme/tiny-sd", model_dir)
-    monkeypatch.setenv("HF_HOME", str(hf_home))
-    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    _point_hub_cache(monkeypatch, hf_home)
 
     from scal_sdt_tpu.conf import Config
     from scal_sdt_tpu.convert.loader import load_components
@@ -48,8 +62,7 @@ def test_hub_id_resolves_from_local_cache(tmp_path, monkeypatch):
 
 
 def test_hub_id_not_cached_actionable_error(tmp_path, monkeypatch):
-    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty_hf"))
-    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    _point_hub_cache(monkeypatch, tmp_path / "empty_hf")
 
     from scal_sdt_tpu.conf import Config
     from scal_sdt_tpu.convert.loader import load_components
