@@ -92,3 +92,20 @@ def test_bf16_master_training_tracks_fp32(tmp_path):
     for k in b:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
                                       err_msg=k)
+
+
+def test_sr_of_zero_update_is_exact_noop():
+    """Gradient-accumulation interplay: on non-emit micro-steps the
+    optimizer emits a ZERO update; adding 0 in fp32 to a bf16 param gives
+    an exactly-representable value, so SR must return it bit-identically
+    (no dither drift on accumulation steps)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scal_sdt_tpu.training.ema import stochastic_round_bf16
+
+    p = jax.random.normal(jax.random.PRNGKey(3), (4096,)).astype(jnp.bfloat16)
+    out = stochastic_round_bf16(p.astype(jnp.float32) + jnp.zeros_like(
+        p, jnp.float32), jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(p))
