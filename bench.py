@@ -240,7 +240,11 @@ def main():
                                     ("v4", TPU_PEAK_FLOPS["v4"]))
                      if k in kind), None)
         if peak is not None:
-            mfu = round(step_flops * steps_per_sec / peak, 4)
+            # step_flops covers the full global batch, which is sharded over
+            # every device in the mesh — divide by the aggregate peak so MFU
+            # stays per-chip-meaningful on multi-chip runs (ADVICE r4)
+            mfu = round(step_flops * steps_per_sec
+                        / (peak * jax.device_count()), 4)
 
     print(json.dumps({
         "metric": ("tiny_cpu_smoke" if TINY else

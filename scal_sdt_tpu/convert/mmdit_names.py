@@ -98,14 +98,18 @@ def _count_blocks(names: Iterable[str], pat: str) -> int:
 
 
 def _infer_inner_dim(state: dict) -> int | None:
-    """MMDiT width d from any tensor whose in_features is d. Every adaLN
-    head, attention projection, and the x_embedder all take d as the
-    contracting dim, so any of these suffices for partial states."""
+    """MMDiT width d from any projection touching d. adaLN heads, attention
+    projections, and the x_embedder take d as the contracting dim
+    (in_features, shape[1]); the fc2-style MLP out-projections map 4d->d, so
+    d is their OUT dim (shape[0]) — using shape[1] there would read 4d and
+    poison the bias-only continuous-adaLN detection (ADVICE r4)."""
     for k, v in state.items():
         if k.endswith((".adaLN_modulation.1.weight", "norm1.linear.weight",
                        "norm1_context.linear.weight", "attn.to_q.weight",
-                       "attn.qkv.weight", "ff.net.2.weight", "mlp.fc2.weight")):
+                       "attn.qkv.weight")):
             return int(np.asarray(v).shape[1])
+        if k.endswith(("ff.net.2.weight", "mlp.fc2.weight")):
+            return int(np.asarray(v).shape[0])
     return None
 
 

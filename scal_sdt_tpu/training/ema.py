@@ -37,6 +37,52 @@ class EMAState(NamedTuple):
     decay: jnp.ndarray        # float32 scalar
 
 
+def _murmur_mix(x: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 finalizer (full avalanche) over uint32."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def cheap_dither_u16(shape, step: jnp.ndarray, salt: int) -> jnp.ndarray:
+    """16 uniform dither bits per element from a counter-based hash of
+    (element index, step, salt) — pure VPU compute (~7 fused ops/element,
+    no HBM round-trip).
+
+    Replaces the per-step hardware-RNG draws for stochastic rounding: an
+    unsafe_rbg draw over the 859M-param set costs ~27 ms/step on the v5e
+    (threefry ~40 ms) because RngBitGenerator runs many mixing rounds; a
+    murmur3-finalizer counter hash is statistically ample for rounding
+    dither (only per-element uniformity and step-to-step decorrelation
+    matter — tests/test_cheap_dither.py) at a fraction of the ops, and XLA
+    fuses it straight into the consuming update chain."""
+    import math
+
+    n = math.prod(shape) if shape else 1
+    i = jax.lax.iota(jnp.uint32, max(n, 1))
+    seed = (jnp.asarray(step).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+            ) ^ jnp.uint32(salt & 0xFFFFFFFF)
+    h = _murmur_mix(i * jnp.uint32(2654435761) + seed)
+    return (h >> 16).astype(jnp.uint16).reshape(shape)
+
+
+def stochastic_round_bf16_cheap(x: jnp.ndarray, step: jnp.ndarray,
+                                salt: int) -> jnp.ndarray:
+    """fp32 -> bf16 stochastic rounding with the counter-hash dither.
+
+    Same integer-add-and-truncate construction as stochastic_round_bf16
+    (unbiased; exact no-op when x is already a bf16 value, since the low
+    mantissa bits are zero and no carry can occur), but the dither is
+    deterministic in (step, salt) and costs no separate RNG draw."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    r = cheap_dither_u16(x.shape, step, salt).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        ((bits + r) >> 16).astype(jnp.uint16), jnp.bfloat16)
+
+
 def hw_dither_key(key: jax.Array) -> jax.Array:
     """Derive a hardware-RNG (unsafe_rbg) key from a threefry key.
 
@@ -75,7 +121,11 @@ def ema_init(params: Params, decay: float, dtype=jnp.float32) -> EMAState:
 
 
 def ema_update(state: EMAState, params: Params,
-               rng: Optional[jax.Array] = None) -> EMAState:
+               rng: Optional[jax.Array] = None,
+               step: Optional[jnp.ndarray] = None) -> EMAState:
+    """EMA step. bf16 shadows need a dither source for the SR store:
+    either ``step`` (counter-hash dither, preferred — fused, free) or
+    ``rng`` (hardware-RNG draw, the r4 mechanism, kept for tests)."""
     n = state.num_updates + 1
     decay = jnp.minimum(state.decay, (1.0 + n) / (10.0 + n))
     one_minus = 1.0 - decay
@@ -84,11 +134,15 @@ def ema_update(state: EMAState, params: Params,
         new = s.astype(jnp.float32) - one_minus * (
             s.astype(jnp.float32) - params[k].astype(jnp.float32))
         if s.dtype == jnp.bfloat16:
-            if rng is None:
-                raise ValueError("bf16 EMA shadow requires an rng for "
-                                 "stochastic rounding")
-            new = stochastic_round_bf16(
-                new, jax.random.fold_in(rng, zlib.crc32(k.encode())))
+            if step is not None:
+                new = stochastic_round_bf16_cheap(
+                    new, step, zlib.crc32(k.encode()) ^ 0xE3A0002)
+            elif rng is not None:
+                new = stochastic_round_bf16(
+                    new, jax.random.fold_in(rng, zlib.crc32(k.encode())))
+            else:
+                raise ValueError("bf16 EMA shadow requires a dither source "
+                                 "(step or rng) for stochastic rounding")
         else:
             new = new.astype(s.dtype)
         shadow[k] = new

@@ -77,15 +77,35 @@ def _base_hparams(config: Config) -> dict:
 
 def scale_by_adam_low_memory(b1: float, b2: float, eps: float,
                              moment_dtype) -> optax.GradientTransformation:
-    """scale_by_adam with BOTH moments stored in a reduced dtype (bf16).
+    """scale_by_adam with explicit moment STORAGE dtype and fp32 moment math.
 
-    Saves 5.2 GB of optimizer HBM for SD1.5 full fine-tune — the margin that
-    lets partial rematerialisation fit on a 16 GB chip. Moment math runs in
-    fp32; only storage is reduced (strictly more precise than the int8 states
-    the reference recommends via bitsandbytes).
+    Two jobs:
+    - ``moment_dtype=bf16``: both moments stored bf16 — saves 5.2 GB of
+      optimizer HBM for SD1.5 full fine-tune, the margin that lets the
+      no-remat batch-8 step fit a 16 GB chip.
+    - ``moment_dtype=fp32``: used whenever the masters are bf16
+      (optimizer.master_dtype), where plain optax.scale_by_adam would infer
+      bf16 moments from the params (ADVICE r4 high).
+
+    Accumulation always runs in fp32. For sub-fp32 nu storage that alone is
+    NOT enough: the per-step increment ``(1-b2)*g^2`` (~1e-3 relative) is
+    below the bf16 ulp (~3.9e-3), so a round-to-nearest store rounds the
+    increment away and nu stalls at ~1/4 of E[g^2] (measured:
+    tests/test_master_dtype_moments.py). The nu store therefore uses
+    **stochastic rounding** (unbiased, same trick as the bf16 EMA shadow /
+    bf16 masters, training/ema.py) with the counter-hash dither — fused
+    VPU compute, deterministic in the step count, no RNG draw. mu needs no
+    SR: its increment is ``(1-b1)=0.1`` of the gradient-vs-mu gap, far
+    above the bf16 ulp, so round-to-nearest tracks (worst case a ~3% stall
+    under a constant gradient; real gradients are noisy and clear the ulp
+    every step).
     """
+    import zlib
+
     import jax
     import jax.numpy as jnp
+
+    sub_fp32 = jnp.dtype(moment_dtype).itemsize < 4
 
     def init(params):
         zeros = lambda p: jnp.zeros_like(p, dtype=moment_dtype) if hasattr(p, "shape") else p
@@ -100,17 +120,25 @@ def scale_by_adam_low_memory(b1: float, b2: float, eps: float,
         c = count.astype(jnp.float32)
         bc1 = 1.0 - b1 ** c
         bc2 = 1.0 - b2 ** c
+        if sub_fp32:
+            from .ema import stochastic_round_bf16_cheap
 
-        def upd(g, mu, nu):
+        def upd(k, g, mu, nu):
             if not hasattr(g, "shape"):
                 return g, mu, nu
             g32 = g.astype(jnp.float32)
             mu32 = b1 * mu.astype(jnp.float32) + (1.0 - b1) * g32
             nu32 = b2 * nu.astype(jnp.float32) + (1.0 - b2) * jnp.square(g32)
             out = (mu32 / bc1) / (jnp.sqrt(nu32 / bc2) + eps)
-            return out, mu32.astype(moment_dtype), nu32.astype(moment_dtype)
+            if sub_fp32:
+                nu_store = stochastic_round_bf16_cheap(
+                    nu32, count, zlib.crc32(k.encode()) ^ 0xE3A0003
+                ).astype(moment_dtype)
+            else:
+                nu_store = nu32.astype(moment_dtype)
+            return out, mu32.astype(moment_dtype), nu_store
 
-        flat = {k: upd(updates[k], state.mu[k], state.nu[k]) for k in updates}
+        flat = {k: upd(k, updates[k], state.mu[k], state.nu[k]) for k in updates}
         new_updates = {k: v[0] for k, v in flat.items()}
         mu = {k: v[1] for k, v in flat.items()}
         nu = {k: v[2] for k, v in flat.items()}
@@ -187,21 +215,38 @@ def _add_decayed_weights_lowp(weight_decay: float) -> optax.GradientTransformati
     return optax.GradientTransformation(init, update)
 
 
+def _adam_moment_dtype(moment_dtype: Optional[str], reduced_masters: bool):
+    """Resolve the Adam moment STORAGE dtype, or None for plain scale_by_adam.
+
+    optax.scale_by_adam infers both moment dtypes from the params — with
+    bf16 masters (optimizer.master_dtype: bf16) that would store AND
+    accumulate mu/nu in bf16, where the (1-b2)*g^2 increment (~1e-3
+    relative) is below the bf16 ulp (~3.9e-3): the second moment silently
+    stops tracking. So whenever masters are reduced we must take the
+    explicit-dtype path (fp32 math, configured storage; default fp32
+    storage), independent of moment_dtype."""
+    if moment_dtype and str(moment_dtype) != "fp32":
+        from ..utils.state import DTYPE_MAP
+
+        return (jnp.bfloat16 if str(moment_dtype) == "bf16"
+                else DTYPE_MAP[str(moment_dtype)])
+    if reduced_masters:
+        return jnp.float32
+    return None
+
+
 def _group_transform(name: str, lr: float, betas: tuple[float, float], eps: float,
                      weight_decay: float, schedule: Schedule,
                      moment_dtype: Optional[str] = None,
-                     extra: Optional[dict] = None) -> optax.GradientTransformation:
+                     extra: Optional[dict] = None,
+                     reduced_masters: bool = False) -> optax.GradientTransformation:
     name = str(name).lower()
     extra = extra or {}
     parts = []
     if name in _ADAMW_NAMES:
-        if moment_dtype and str(moment_dtype) != "fp32":
-            import jax.numpy as jnp
-            from ..utils.state import DTYPE_MAP
-
-            parts.append(scale_by_adam_low_memory(
-                betas[0], betas[1], eps, jnp.bfloat16 if str(moment_dtype) == "bf16"
-                else DTYPE_MAP[str(moment_dtype)]))
+        mdt = _adam_moment_dtype(moment_dtype, reduced_masters)
+        if mdt is not None:
+            parts.append(scale_by_adam_low_memory(betas[0], betas[1], eps, mdt))
         else:
             parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
         if weight_decay:
@@ -218,7 +263,11 @@ def _group_transform(name: str, lr: float, betas: tuple[float, float], eps: floa
             # bf16 is far below the int8 moment quantization error.
             parts.append(_add_decayed_weights_lowp(weight_decay))
     elif name in _ADAM_NAMES:
-        parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        mdt = _adam_moment_dtype(moment_dtype, reduced_masters)
+        if mdt is not None:
+            parts.append(scale_by_adam_low_memory(betas[0], betas[1], eps, mdt))
+        else:
+            parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
     elif name in _LION_NAMES:
         # sign-based update with one momentum buffer (half of Adam's
         # optimizer HBM even at fp32); moment_dtype halves it again
@@ -226,6 +275,10 @@ def _group_transform(name: str, lr: float, betas: tuple[float, float], eps: floa
 
         mu_dtype = (jnp.bfloat16 if str(moment_dtype) == "bf16"
                     else None) if moment_dtype else None
+        if mu_dtype is None and reduced_masters:
+            # bf16 masters would otherwise give bf16 momentum storage+math
+            # (optax infers from params); pin fp32 so accumulation tracks
+            mu_dtype = jnp.float32
         parts.append(optax.scale_by_lion(b1=betas[0], b2=betas[1],
                                          mu_dtype=mu_dtype))
         if weight_decay:
@@ -290,6 +343,8 @@ def build_optimizer(config: Config,
     base = _base_hparams(config)
     coeff = lr_scale_coeff(config, num_processes)
     moment_dtype = config.optimizer.get("moment_dtype")
+    reduced_masters = str(config.optimizer.get("master_dtype", "fp32")) in (
+        "bf16", "bfloat16")
 
     transforms = {}
     first_lr_fn: Optional[Callable] = None
@@ -302,7 +357,8 @@ def build_optimizer(config: Config,
                  if k not in ("lr", "betas", "eps", "weight_decay")}
         transforms[label] = _group_transform(
             config.optimizer.name, lr, base["betas"], float(base["eps"]), wd, schedule,
-            moment_dtype=moment_dtype, extra=extra)
+            moment_dtype=moment_dtype, extra=extra,
+            reduced_masters=reduced_masters)
         if first_lr_fn is None:
             def lr_fn(step, _lr=lr, _s=schedule):
                 return _lr * _s(step)

@@ -450,17 +450,19 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
             # freeze training — add in fp32 and STOCHASTIC-round back
             # (unbiased, same machinery as the bf16 EMA shadow). Halves
             # master HBM and kills the fp32->bf16 compute-cast traffic.
-            from .ema import hw_dither_key, stochastic_round_bf16
+            # Dither is the counter-hash (fused VPU compute, no draw): the
+            # r4 unsafe_rbg draws cost ~27 ms/step across the SR sites.
+            import zlib
 
-            sr_rng = hw_dither_key(
-                jax.random.fold_in(jax.random.fold_in(rng, step), 2))
+            from .ema import stochastic_round_bf16_cheap
+
             new = {}
-            for i, k in enumerate(sorted(trainable)):
+            for k in sorted(trainable):
                 p, u = trainable[k], updates[k]
                 if p.dtype == jnp.bfloat16:
-                    new[k] = stochastic_round_bf16(
+                    new[k] = stochastic_round_bf16_cheap(
                         p.astype(jnp.float32) + u.astype(jnp.float32),
-                        jax.random.fold_in(sr_rng, i))
+                        step, zlib.crc32(k.encode()) ^ 0xE3A0001)
                 else:
                     new[k] = (p + u.astype(p.dtype)).astype(p.dtype)
             trainable = new
@@ -472,13 +474,9 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
         if ema_enabled and ema is not None:
             unet_trainable = {k: v for k, v in trainable.items()
                               if k.startswith(UNET_PREFIX + ".")}
-            # distinct stream from the grad program's fold_in(rng, step);
-            # hw-RNG key: the bf16-shadow SR dither is a full-param draw
-            from .ema import hw_dither_key
-
-            ema_rng = hw_dither_key(
-                jax.random.fold_in(jax.random.fold_in(rng, step), 1))
-            ema = ema_update(ema, unet_trainable, rng=ema_rng)
+            # counter-hash dither for the bf16-shadow SR store (distinct
+            # site salt from the master-SR dither above)
+            ema = ema_update(ema, unet_trainable, step=step)
 
         lr = lr_fn(step)
         new_state = TrainState(

@@ -426,8 +426,13 @@ class Trainer:
         template = self._device_batch(self.pipeline._load_batch(idx))
 
         bs = batch_sharding(self.mesh)
+        # VAE downsample factor from the actual architecture (2 for the tiny
+        # test VAEs, 8 for SD) — a hardcoded 8 would compile latent shapes
+        # that never match real batches (ADVICE r4); same derivation as
+        # training/step.py
+        f = 2 ** (len(self.spec.vae_config.block_out_channels) - 1)
         spatial = {"images": lambda w, h, a: (a.shape[0], h, w, a.shape[3]),
-                   "latents": lambda w, h, a: (a.shape[0], h // 8, w // 8,
+                   "latents": lambda w, h, a: (a.shape[0], h // f, w // f,
                                                a.shape[3])}
         compiled = 0
         t0 = time.perf_counter()
@@ -497,6 +502,17 @@ class Trainer:
 
         epoch = self.epoch_cursor
         last_metrics: dict = {}
+        # SSDT_STEP_TIMINGS=<path>: append one JSON line per logged step
+        # {step, shape, dt} — used by lab/workload4_arb.py to report
+        # per-ARB-bucket steps/s and detect mid-run recompile stalls from
+        # the real CLI surface. Requires log_every_n_steps: 1 for per-step
+        # resolution (the dt is only measured on log steps, where the host
+        # metric fetch provides the timing barrier).
+        import os as _os
+
+        timings_path = _os.environ.get("SSDT_STEP_TIMINGS")
+        if timings_path and jax.process_index() == 0:
+            Path(timings_path).write_text("")  # truncate; lines stream below
         t0 = time.perf_counter()
         with self.mesh:
             while epoch < max_epochs:
@@ -526,6 +542,18 @@ class Trainer:
                         t0 = time.perf_counter()
                         host["steps_per_sec"] = 1.0 / max(dt, 1e-9)
                         last_metrics = host
+                        if timings_path and jax.process_index() == 0:
+                            import json as _json
+
+                            spatial = next(
+                                (tuple(int(d) for d in v.shape)
+                                 for k, v in dev_batch.items()
+                                 if k in ("images", "latents")), None)
+                            with open(timings_path, "a") as tf:
+                                tf.write(_json.dumps(
+                                    {"step": self.global_step,
+                                     "shape": spatial,
+                                     "dt": round(dt, 5)}) + "\n")
                         self._log(host, self.global_step)
                         if self.global_step % max(log_every * 10, 10) == 0:
                             logger.info(

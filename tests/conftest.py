@@ -35,6 +35,8 @@ _SLOW_MODULES = {
     "test_full_model_parity",       # SD1.5-parameterization torch parity
     "test_cache",
     "test_grad_accumulation",
+    "test_sample_callback",         # 3 Trainer fits + DDIM sampling loops
+    "test_gen_class_imgs",          # CLI loads model + samples per test
 }
 _SLOW_TESTS = {
     # multi-minute SDXL e2e fits / full sampler loops (the cheap SDXL parity

@@ -188,7 +188,11 @@ def test_e2e_stacked_tiny_matches_unpacked(tmp_path):
     data = make_image_dataset(tmp_path, n=4)
     results = {}
     for mode, overrides in (("stacked", {"param_packing": True,
-                                         "pack_min_size": 64}),
+                                         "pack_min_size": 64,
+                                         # stacks are off by default since the
+                                         # slab-only flip (r3); opt back in so
+                                         # this test covers the stacked path
+                                         "pack_stacks": True}),
                             ("off", {"param_packing": False})):
         cfg = tiny_config(data, tmp_path / mode, trainer=overrides)
         tr = Trainer(cfg, tmp_path / mode / "run", models=tiny_models(),
