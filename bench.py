@@ -65,10 +65,13 @@ def main():
     # fp32 EMA + batch-8 no-remat measured OOM on the 16 GB chip; the bf16
     # stochastic-rounded shadow (ema.dtype: bf16) is the config that fits.
     EMA_DTYPE = os.environ.get("SSDT_BENCH_EMA_DTYPE", "bf16" if EMA else "fp32")
-    # SSDT_BENCH_MASTER=bf16: bf16 masters with stochastic-rounded apply
-    # (optimizer.master_dtype) — halves master HBM and removes the fp32
-    # compute-cast read traffic.
-    MASTER = os.environ.get("SSDT_BENCH_MASTER", "fp32")
+    # Master storage (optimizer.master_dtype). Default bf16 since r5: bf16
+    # masters with stochastic-rounded apply halve master HBM and remove the
+    # fp32 compute-cast read traffic; with the counter-hash dither (the r4
+    # unsafe_rbg draw cost ~27 ms and made fp32 masters win) this config
+    # measures 4.12 vs 4.04 steps/s — bf16 masters are now the recommended
+    # AND fastest config. SSDT_BENCH_MASTER=fp32 measures the old default.
+    MASTER = os.environ.get("SSDT_BENCH_MASTER", "bf16")
 
     config = merge(default(), Config({
         "batch_size": BATCH,
@@ -250,7 +253,9 @@ def main():
         "metric": ("tiny_cpu_smoke" if TINY else
                    "sd15_unet_full_finetune_train_steps_per_sec_b8_512"
                    + ("_ema" if EMA else "")
-                   + ("_bf16master" if MASTER != "fp32" else "")
+                   # suffix only non-default master storage (default is
+                   # bf16 SR masters since r5 — the fastest measured config)
+                   + ("_fp32master" if MASTER == "fp32" else "")
                    if TARGET == "full_unet" else
                    f"sd15_{TARGET}_train_steps_per_sec_b{BATCH}_512"),
         "value": round(steps_per_sec, 4),

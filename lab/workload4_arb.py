@@ -102,6 +102,11 @@ def write_config(root: Path, model_dir: Path, data_dir: Path, cache_path: Path,
         "batch_size": batch,
         "seed": 42,
         "clip_stop_at_layer": 2,
+        # minimal remat ('top', PERF_NOTES r4 0a): ARB's largest bucket
+        # (704x384 -> 4224 latent tokens) + the resident frozen towers +
+        # EMA shadow exceed the no-remat footprint the single-shape bench
+        # fits; measured OOM without it
+        "gradient_checkpointing": "top",
         "data": {
             "resolution": 64 if TINY else 512,
             "concepts": [{"instance_set": {"path": str(data_dir),
@@ -119,7 +124,14 @@ def write_config(root: Path, model_dir: Path, data_dir: Path, cache_path: Path,
             "lr_scale": {"enabled": False},
         },
         "trainer": {"precision": "bf16", "max_epochs": 99,
-                    "max_steps": steps, "log_every_n_steps": 1},
+                    "max_steps": steps,
+                    # log_every 1 => per-step (shape, dt) rows, but each
+                    # logged step pays a host metric-fetch round-trip
+                    # (~0.24 s through the tunnel-attached chip — zero on
+                    # a local TPU host); pass a larger value for aggregate
+                    # throughput without the barrier
+                    "log_every_n_steps": int(os.environ.get(
+                        "SSDT_W4_LOG_EVERY", 1))},
         "checkpoint": {"filename": "step{step}", "every_n_epochs": None,
                        "save_top_k": 0},
         "loggers": {},

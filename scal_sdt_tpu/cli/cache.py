@@ -107,15 +107,22 @@ def build_local_shard(config: Config, models, tokenizer, *,
                             num_workers=config.get("num_workers") or 4,
                             tokenizer_3=tokenizer_3)
 
+    # Params are passed as jit ARGUMENTS, not closures: a closed-over
+    # param dict is baked into the lowered module as constants, and the
+    # remote-compile tunnel rejects the ~0.5 GB payload of a full CLIP
+    # tower (HTTP 413; found by the SD1.5-scale workload-4 run).
     vae_params = {k: jnp.asarray(v) for k, v in models.vae.items()}
     clip_params = {k: jnp.asarray(v) for k, v in models.clip.items()}
     stop_at_layer = int(config.get("clip_stop_at_layer", 1))
 
     @jax.jit
-    def encode_latents(images, rng):
-        moments = encoder_apply(vae_params, images, models.vae_config)
+    def _encode_latents(vp, images, rng):
+        moments = encoder_apply(vp, images, models.vae_config)
         return sample_latents(moments, rng, models.vae_config.scaling_factor,
                               models.vae_config.shift_factor)
+
+    def encode_latents(images, rng):
+        return _encode_latents(vae_params, images, rng)
 
     if models.is_sd3:
         from ..models.clip import clip_text_encode_sdxl, eos_positions
@@ -125,62 +132,78 @@ def build_local_shard(config: Config, models, tokenizer, *,
                      if models.t5 is not None else None)
 
         @jax.jit
-        def encode_conds(input_ids, t5_ids=None):
+        def _encode_conds(cp, cp2, t5p, input_ids, t5_ids=None):
             # SD3 conditioning, matching training/step.py's live path:
             # concat of both projected towers' penultimate states zero-padded
             # to the joint width (+ T5 seq-concat), pooled concat
-            penult1, pooled1 = clip_text_encode_sdxl(clip_params, input_ids,
+            penult1, pooled1 = clip_text_encode_sdxl(cp, input_ids,
                                                      models.clip_config)
             first_eos = eos_positions(input_ids,
                                       models.clip_config.eos_token_id)
             pos = jnp.arange(input_ids.shape[1])[None, :]
             ids2 = jnp.where(pos > first_eos[:, None], 0, input_ids)
-            penult2, pooled2 = clip_text_encode_sdxl(clip2_params, ids2,
+            penult2, pooled2 = clip_text_encode_sdxl(cp2, ids2,
                                                      models.clip2_config)
             emb = jnp.concatenate([penult1, penult2], axis=-1)
             joint = models.mmdit_config.joint_attention_dim
             emb = jnp.pad(emb, ((0, 0), (0, 0), (0, joint - emb.shape[-1])))
-            if t5_params is not None:
+            if t5p is not None:
                 from ..models.t5 import t5_encoder_apply
 
-                t5_emb = t5_encoder_apply(t5_params, t5_ids, models.t5_config)
+                t5_emb = t5_encoder_apply(t5p, t5_ids, models.t5_config)
                 emb = jnp.concatenate([emb, t5_emb], axis=1)
             return emb, jnp.concatenate([pooled1, pooled2], axis=-1)
+
+        def encode_conds(input_ids, t5_ids=None):
+            return _encode_conds(clip_params, clip2_params, t5_params,
+                                 input_ids, t5_ids)
     elif models.is_sdxl:
         from ..models.clip import clip_text_encode_sdxl, eos_positions
 
         clip2_params = {k: jnp.asarray(v) for k, v in models.clip2.items()}
 
         @jax.jit
-        def encode_conds(input_ids):
+        def _encode_conds(cp, cp2, input_ids):
             # dual-encoder SDXL conditioning, matching the live-encode path
             # in training/step.py: concat penultimate states + pooled
-            penult1, _ = clip_text_encode_sdxl(clip_params, input_ids,
+            penult1, _ = clip_text_encode_sdxl(cp, input_ids,
                                                models.clip_config)
             first_eos = eos_positions(input_ids,
                                       models.clip_config.eos_token_id)
             pos = jnp.arange(input_ids.shape[1])[None, :]
             ids2 = jnp.where(pos > first_eos[:, None], 0, input_ids)
-            penult2, pooled = clip_text_encode_sdxl(clip2_params, ids2,
+            penult2, pooled = clip_text_encode_sdxl(cp2, ids2,
                                                     models.clip2_config)
             return jnp.concatenate([penult1, penult2], axis=-1), pooled
+
+        def encode_conds(input_ids):
+            return _encode_conds(clip_params, clip2_params, input_ids)
     else:
         @jax.jit
-        def encode_conds(input_ids):
-            conds = clip_text_apply(clip_params, input_ids,
+        def _encode_conds(cp, input_ids):
+            conds = clip_text_apply(cp, input_ids,
                                     models.clip_config, stop_at_layer)
             return conds, None
 
+        def encode_conds(input_ids):
+            return _encode_conds(clip_params, input_ids)
+
     rng = jax.random.PRNGKey(int(config.get("seed") or 0))
-    groups: list[np.ndarray] = []
+    # latents are kept as per-image arrays (list of N per group), NOT one
+    # concatenated block: ARB batches have per-bucket spatial shapes, and
+    # the cache file schema is per-id anyway ({id}.latent.{g} with its own
+    # shape). A same-shape concatenation here crashed single-process
+    # ARB+cache builds (found by lab/workload4_arb.py).
+    groups: list[list[np.ndarray]] = []
     ids: Optional[np.ndarray] = None
     conds: Optional[np.ndarray] = None
     pooled: Optional[np.ndarray] = None
     for group in range(aug_group_size):
-        lat_batches, id_batches, cond_batches, pooled_batches = [], [], [], []
+        lat_images: list[np.ndarray] = []
+        id_batches, cond_batches, pooled_batches = [], [], []
         for batch in itertools.islice(iter(pipeline), n_batches):
             rng, sub = jax.random.split(rng)
-            lat_batches.append(
+            lat_images.extend(
                 np.asarray(encode_latents(jnp.asarray(batch["images"]), sub)))
             id_batches.append(np.asarray(batch["ids"], np.int64))
             if group == 0 and not no_conds and "input_ids" in batch:
@@ -197,13 +220,13 @@ def build_local_shard(config: Config, models, tokenizer, *,
             ids = group_ids
         elif not np.array_equal(ids, group_ids):
             raise AssertionError("Sampler order changed between aug groups")
-        groups.append(np.concatenate(lat_batches))
+        groups.append(lat_images)
         if cond_batches:
             conds = np.concatenate(cond_batches)
         if pooled_batches:
             pooled = np.concatenate(pooled_batches)
 
-    return {"ids": ids, "latents": np.stack(groups), "conds": conds,
+    return {"ids": ids, "latents": groups, "conds": conds,
             "pooled": pooled}
 
 
@@ -221,7 +244,10 @@ def merge_shards(shard: dict, world_size: int, allgather=None) -> dict:
         allgather = process_allgather
 
     ids = np.asarray(allgather(shard["ids"]))              # (P, N)
-    latents = np.asarray(allgather(shard["latents"]))      # (P, G, N, ...)
+    # multihost caching requires ARB off (enforced in main), so all
+    # per-image latents share one shape and stack cleanly for the gather
+    latents = np.asarray(allgather(
+        np.stack([np.stack(g) for g in shard["latents"]])))  # (P, G, N, ...)
     out = {
         "ids": ids.reshape(-1),
         "latents": np.concatenate(
@@ -241,17 +267,19 @@ def merge_shards(shard: dict, world_size: int, allgather=None) -> dict:
 def assemble_cache(merged: dict) -> tuple[dict, dict]:
     """(tensors, metadata) in the reference's exact file schema."""
     ids = merged["ids"]
-    latents = merged["latents"]   # (G, N, h, w, c)
+    # list of G lists of per-image arrays (single process; ARB shapes may
+    # differ per image) OR a (G, N, h, w, c) array (multihost gather path)
+    latents = merged["latents"]
     conds = merged["conds"]
-    aug_group_size = latents.shape[0]
+    aug_group_size = len(latents)
 
     cache: dict[str, np.ndarray] = {}
     sizes: dict[str, list] = {}
     for group in range(aug_group_size):
         for i, id_ in enumerate(ids):
             key = f"{int(id_)}.latent.{group}"
-            cache[key] = latents[group, i]
-            sizes[key] = list(latents[group, i].shape)
+            cache[key] = np.asarray(latents[group][i])
+            sizes[key] = list(cache[key].shape)
     if conds is not None:
         for i, id_ in enumerate(ids):
             cache[f"{int(id_)}.cond"] = conds[i]

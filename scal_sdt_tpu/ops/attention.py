@@ -169,7 +169,18 @@ def _dispatch(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
                    _bwd("SSDT_SPLASH_BKV_DQ", bk, kh.shape[2]))
             if any(b is None for b in bwd):
                 bwd = (bq, bk, bq, bk)
-            return splash_attention(qh, kh, vh, scale, bq, bk, tuple(bwd))
+            # compute sub-tiling: the inner loop runs smaller tiles than
+            # the DMA block. r5 in-step sweep at SD1.5 shapes (batch 8):
+            # 256/256 -> 4.044 steps/s vs 4.019 at full-block compute
+            # (512: 4.018, 128: 3.89 — too fine). Must divide the
+            # respective kv block; env knobs override for sweeps.
+            c_fwd = int(os.environ.get("SSDT_SPLASH_BKV_COMPUTE", 256))
+            c_dkv = int(os.environ.get("SSDT_SPLASH_BKV_DKV_COMPUTE", 256))
+            cf = c_fwd if c_fwd and bk % c_fwd == 0 else bk
+            cd = c_dkv if c_dkv and bwd[1] % c_dkv == 0 else bwd[1]
+            kvc = (cf, cd)
+            return splash_attention(qh, kh, vh, scale, bq, bk, tuple(bwd),
+                                    kv_compute=kvc)
         # ARB bucket lengths are multiples of 64, not always of a usable
         # block — pad to the block grid with masked keys rather than fall
         # back to O(L^2)-memory XLA attention (which OOMs at batch 8).

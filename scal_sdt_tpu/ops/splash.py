@@ -28,7 +28,8 @@ from jax.experimental.pallas.ops.tpu.splash_attention import (
 @functools.lru_cache(maxsize=32)
 def _make_kernel(num_heads: int, q_len: int, kv_len: int, block_q: int,
                  block_kv: int, kv_valid: int = 0,
-                 bwd_blocks: tuple[int, int, int, int] | None = None):
+                 bwd_blocks: tuple[int, int, int, int] | None = None,
+                 kv_compute: tuple[int, int] | None = None):
     """kv_valid > 0 marks a right-padded KV: keys >= kv_valid are masked out
     (ARB bucket sequence lengths are multiples of 64, not always of a usable
     block size — padding to the block grid keeps every bucket on the kernel
@@ -47,10 +48,15 @@ def _make_kernel(num_heads: int, q_len: int, kv_len: int, block_q: int,
     # (round-3 sweep, PERF_NOTES.md).
     bq_dkv, bkv_dkv, bq_dq, bkv_dq = bwd_blocks or (block_q, block_kv,
                                                     block_q, block_kv)
+    # kv_compute: optional (fwd, dkv) compute sub-tiling — the kernel
+    # DMAs block_kv at a time but runs the inner loop on smaller tiles,
+    # a lever the r3 sweep (which covered only the four block pairs)
+    # never probed (VERDICT r4 item 4).
+    bkv_c, bkv_dkv_c = kv_compute or (block_kv, bkv_dkv)
     sizes = _sk.BlockSizes(
-        block_q=block_q, block_kv=block_kv, block_kv_compute=block_kv,
+        block_q=block_q, block_kv=block_kv, block_kv_compute=bkv_c,
         block_q_dkv=bq_dkv, block_kv_dkv=bkv_dkv,
-        block_kv_dkv_compute=bkv_dkv,
+        block_kv_dkv_compute=bkv_dkv_c,
         # separate dq/dkv kernels: the fused backward measured ~25% slower
         # at these shapes (it serialises the dq accumulation)
         block_q_dq=bq_dq, block_kv_dq=bkv_dq,
@@ -81,16 +87,20 @@ def pick_block(length: int, preferred: int = 512) -> int | None:
 
 def splash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      scale: float, block_q: int, block_kv: int,
-                     bwd_blocks: tuple[int, int, int, int] | None = None
+                     bwd_blocks: tuple[int, int, int, int] | None = None,
+                     kv_compute: tuple[int, int] | None = None
                      ) -> jnp.ndarray:
     """q, k, v: (B, H, L, D) bf16/f32 -> (B, H, Lq, D). Non-causal.
 
     ``bwd_blocks``: optional (block_q_dkv, block_kv_dkv, block_q_dq,
     block_kv_dq) override; defaults to the forward pair.
+    ``kv_compute``: optional (block_kv_compute, block_kv_dkv_compute)
+    sub-tiling; defaults to the DMA block sizes.
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    kernel = _make_kernel(h, lq, lk, block_q, block_kv, bwd_blocks=bwd_blocks)
+    kernel = _make_kernel(h, lq, lk, block_q, block_kv, bwd_blocks=bwd_blocks,
+                          kv_compute=kv_compute)
     qs = q * jnp.asarray(scale, q.dtype)
     return jax.vmap(kernel)(qs, k, v)
 
@@ -116,6 +126,8 @@ def splash_attention_padded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     qp, kp, vp = pad_seq(q, lqp), pad_seq(k, lkp), pad_seq(v, lkp)
     kernel = _make_kernel(h, lqp, lkp, block, block,
-                          kv_valid=lk if lkp != lk else 0)
+                          kv_valid=lk if lkp != lk else 0,
+                          kv_compute=((256, 256) if block % 256 == 0
+                                      else None))
     out = jax.vmap(kernel)(qp * jnp.asarray(scale, q.dtype), kp, vp)
     return out[:, :, :lq]

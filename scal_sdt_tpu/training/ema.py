@@ -47,8 +47,8 @@ def _murmur_mix(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def cheap_dither_u16(shape, step: jnp.ndarray, salt: int) -> jnp.ndarray:
-    """16 uniform dither bits per element from a counter-based hash of
+def cheap_dither_u32(shape, step: jnp.ndarray, salt: int) -> jnp.ndarray:
+    """32 uniform hash bits per element from a counter-based hash of
     (element index, step, salt) — pure VPU compute (~7 fused ops/element,
     no HBM round-trip).
 
@@ -58,29 +58,47 @@ def cheap_dither_u16(shape, step: jnp.ndarray, salt: int) -> jnp.ndarray:
     murmur3-finalizer counter hash is statistically ample for rounding
     dither (only per-element uniformity and step-to-step decorrelation
     matter — tests/test_cheap_dither.py) at a fraction of the ops, and XLA
-    fuses it straight into the consuming update chain."""
+    fuses it straight into the consuming update chain. With full avalanche
+    the high and low 16-bit halves serve as two independent dither
+    streams — SR sites that touch the same tensor in one step (bf16 master
+    apply + bf16 EMA shadow) split one hash instead of paying two."""
     import math
 
     n = math.prod(shape) if shape else 1
     i = jax.lax.iota(jnp.uint32, max(n, 1))
     seed = (jnp.asarray(step).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
             ) ^ jnp.uint32(salt & 0xFFFFFFFF)
-    h = _murmur_mix(i * jnp.uint32(2654435761) + seed)
-    return (h >> 16).astype(jnp.uint16).reshape(shape)
+    return _murmur_mix(i * jnp.uint32(2654435761) + seed).reshape(shape)
+
+
+def cheap_dither_u16(shape, step: jnp.ndarray, salt: int) -> jnp.ndarray:
+    """High 16 bits of :func:`cheap_dither_u32` as uint16.
+
+    (A half-the-hash-cost variant feeding element PAIRS from one u32 was
+    tried and reverted: the stack/slice/reshape chain defeats XLA fusion,
+    materializing the dither for (O,I,3,3) conv weights at 64x tile
+    padding — +6.9 GB and an instant OOM. The fused full-shape hash costs
+    ~2-3 ms/step per 859M-element site and zero bytes.)"""
+    return (cheap_dither_u32(shape, step, salt) >> 16).astype(jnp.uint16)
+
+
+def stochastic_round_bf16_bits(x: jnp.ndarray,
+                               r16: jnp.ndarray) -> jnp.ndarray:
+    """fp32 -> bf16 stochastic rounding with caller-provided dither bits
+    (uint values < 2^16). Integer-add-and-truncate: unbiased; exact no-op
+    when x is already a bf16 value (low mantissa bits are zero, no carry)."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        ((bits + r16.astype(jnp.uint32)) >> 16).astype(jnp.uint16),
+        jnp.bfloat16)
 
 
 def stochastic_round_bf16_cheap(x: jnp.ndarray, step: jnp.ndarray,
                                 salt: int) -> jnp.ndarray:
-    """fp32 -> bf16 stochastic rounding with the counter-hash dither.
-
-    Same integer-add-and-truncate construction as stochastic_round_bf16
-    (unbiased; exact no-op when x is already a bf16 value, since the low
-    mantissa bits are zero and no carry can occur), but the dither is
-    deterministic in (step, salt) and costs no separate RNG draw."""
-    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-    r = cheap_dither_u16(x.shape, step, salt).astype(jnp.uint32)
-    return jax.lax.bitcast_convert_type(
-        ((bits + r) >> 16).astype(jnp.uint16), jnp.bfloat16)
+    """fp32 -> bf16 stochastic rounding with the counter-hash dither,
+    deterministic in (step, salt) — no separate RNG draw."""
+    return stochastic_round_bf16_bits(
+        x, cheap_dither_u16(x.shape, step, salt))
 
 
 def hw_dither_key(key: jax.Array) -> jax.Array:
@@ -122,10 +140,13 @@ def ema_init(params: Params, decay: float, dtype=jnp.float32) -> EMAState:
 
 def ema_update(state: EMAState, params: Params,
                rng: Optional[jax.Array] = None,
-               step: Optional[jnp.ndarray] = None) -> EMAState:
+               step: Optional[jnp.ndarray] = None,
+               dither: Optional[dict] = None) -> EMAState:
     """EMA step. bf16 shadows need a dither source for the SR store:
-    either ``step`` (counter-hash dither, preferred — fused, free) or
-    ``rng`` (hardware-RNG draw, the r4 mechanism, kept for tests)."""
+    ``dither`` (per-key precomputed 16-bit streams — the bf16-master step
+    shares one hash between its master-SR and this shadow-SR), ``step``
+    (counter-hash dither, fused and free), or ``rng`` (hardware-RNG draw,
+    the r4 mechanism, kept for tests)."""
     n = state.num_updates + 1
     decay = jnp.minimum(state.decay, (1.0 + n) / (10.0 + n))
     one_minus = 1.0 - decay
@@ -134,7 +155,9 @@ def ema_update(state: EMAState, params: Params,
         new = s.astype(jnp.float32) - one_minus * (
             s.astype(jnp.float32) - params[k].astype(jnp.float32))
         if s.dtype == jnp.bfloat16:
-            if step is not None:
+            if dither is not None and k in dither:
+                new = stochastic_round_bf16_bits(new, dither[k])
+            elif step is not None:
                 new = stochastic_round_bf16_cheap(
                     new, step, zlib.crc32(k.encode()) ^ 0xE3A0002)
             elif rng is not None:

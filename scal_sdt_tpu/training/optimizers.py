@@ -76,13 +76,17 @@ def _base_hparams(config: Config) -> dict:
 
 
 def scale_by_adam_low_memory(b1: float, b2: float, eps: float,
-                             moment_dtype) -> optax.GradientTransformation:
-    """scale_by_adam with explicit moment STORAGE dtype and fp32 moment math.
+                             moment_dtype,
+                             nu_dtype=None) -> optax.GradientTransformation:
+    """scale_by_adam with explicit moment STORAGE dtypes and fp32 moment math.
 
-    Two jobs:
+    Jobs:
     - ``moment_dtype=bf16``: both moments stored bf16 — saves 5.2 GB of
       optimizer HBM for SD1.5 full fine-tune, the margin that lets the
       no-remat batch-8 step fit a 16 GB chip.
+    - ``moment_dtype=bf16, nu_dtype=fp32`` (config ``moment_dtype: mixed``):
+      mu bf16, nu fp32 — half the moment saving (2.6 GB) at exactly zero
+      step-time cost and exact fp32 nu (no SR needed). The headline config.
     - ``moment_dtype=fp32``: used whenever the masters are bf16
       (optimizer.master_dtype), where plain optax.scale_by_adam would infer
       bf16 moments from the params (ADVICE r4 high).
@@ -91,12 +95,13 @@ def scale_by_adam_low_memory(b1: float, b2: float, eps: float,
     NOT enough: the per-step increment ``(1-b2)*g^2`` (~1e-3 relative) is
     below the bf16 ulp (~3.9e-3), so a round-to-nearest store rounds the
     increment away and nu stalls at ~1/4 of E[g^2] (measured:
-    tests/test_master_dtype_moments.py). The nu store therefore uses
+    tests/test_master_dtype_moments.py). A sub-fp32 nu store therefore uses
     **stochastic rounding** (unbiased, same trick as the bf16 EMA shadow /
     bf16 masters, training/ema.py) with the counter-hash dither — fused
-    VPU compute, deterministic in the step count, no RNG draw. mu needs no
-    SR: its increment is ``(1-b1)=0.1`` of the gradient-vs-mu gap, far
-    above the bf16 ulp, so round-to-nearest tracks (worst case a ~3% stall
+    VPU compute, deterministic in the step count, no RNG draw (~5 ms/step
+    over SD1.5, the measured cost of the bf16-nu mode). mu needs no SR:
+    its increment is ``(1-b1)=0.1`` of the gradient-vs-mu gap, far above
+    the bf16 ulp, so round-to-nearest tracks (worst case a ~3% stall
     under a constant gradient; real gradients are noisy and clear the ulp
     every step).
     """
@@ -105,14 +110,19 @@ def scale_by_adam_low_memory(b1: float, b2: float, eps: float,
     import jax
     import jax.numpy as jnp
 
-    sub_fp32 = jnp.dtype(moment_dtype).itemsize < 4
+    if nu_dtype is None:
+        nu_dtype = moment_dtype
+    sub_fp32_nu = jnp.dtype(nu_dtype).itemsize < 4
 
     def init(params):
-        zeros = lambda p: jnp.zeros_like(p, dtype=moment_dtype) if hasattr(p, "shape") else p
+        def zeros(dt):
+            return lambda p: (jnp.zeros_like(p, dtype=dt)
+                              if hasattr(p, "shape") else p)
+
         return optax.ScaleByAdamState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree.map(zeros, params),
-            nu=jax.tree.map(zeros, params),
+            mu=jax.tree.map(zeros(moment_dtype), params),
+            nu=jax.tree.map(zeros(nu_dtype), params),
         )
 
     def update(updates, state, params=None):
@@ -120,7 +130,7 @@ def scale_by_adam_low_memory(b1: float, b2: float, eps: float,
         c = count.astype(jnp.float32)
         bc1 = 1.0 - b1 ** c
         bc2 = 1.0 - b2 ** c
-        if sub_fp32:
+        if sub_fp32_nu:
             from .ema import stochastic_round_bf16_cheap
 
         def upd(k, g, mu, nu):
@@ -130,12 +140,12 @@ def scale_by_adam_low_memory(b1: float, b2: float, eps: float,
             mu32 = b1 * mu.astype(jnp.float32) + (1.0 - b1) * g32
             nu32 = b2 * nu.astype(jnp.float32) + (1.0 - b2) * jnp.square(g32)
             out = (mu32 / bc1) / (jnp.sqrt(nu32 / bc2) + eps)
-            if sub_fp32:
+            if sub_fp32_nu:
                 nu_store = stochastic_round_bf16_cheap(
                     nu32, count, zlib.crc32(k.encode()) ^ 0xE3A0003
-                ).astype(moment_dtype)
+                ).astype(nu_dtype)
             else:
-                nu_store = nu32.astype(moment_dtype)
+                nu_store = nu32.astype(nu_dtype)
             return out, mu32.astype(moment_dtype), nu_store
 
         flat = {k: upd(k, updates[k], state.mu[k], state.nu[k]) for k in updates}
@@ -216,7 +226,8 @@ def _add_decayed_weights_lowp(weight_decay: float) -> optax.GradientTransformati
 
 
 def _adam_moment_dtype(moment_dtype: Optional[str], reduced_masters: bool):
-    """Resolve the Adam moment STORAGE dtype, or None for plain scale_by_adam.
+    """Resolve Adam moment STORAGE dtypes -> (mu_dtype, nu_dtype), or None
+    for plain scale_by_adam.
 
     optax.scale_by_adam infers both moment dtypes from the params — with
     bf16 masters (optimizer.master_dtype: bf16) that would store AND
@@ -224,14 +235,20 @@ def _adam_moment_dtype(moment_dtype: Optional[str], reduced_masters: bool):
     relative) is below the bf16 ulp (~3.9e-3): the second moment silently
     stops tracking. So whenever masters are reduced we must take the
     explicit-dtype path (fp32 math, configured storage; default fp32
-    storage), independent of moment_dtype."""
-    if moment_dtype and str(moment_dtype) != "fp32":
+    storage), independent of moment_dtype.
+
+    ``mixed`` = mu bf16 + nu fp32: half the moment memory saving at zero
+    step-time cost (no nu SR dither needed)."""
+    md = str(moment_dtype) if moment_dtype else None
+    if md == "mixed":
+        return (jnp.bfloat16, jnp.float32)
+    if md and md != "fp32":
         from ..utils.state import DTYPE_MAP
 
-        return (jnp.bfloat16 if str(moment_dtype) == "bf16"
-                else DTYPE_MAP[str(moment_dtype)])
+        dt = jnp.bfloat16 if md == "bf16" else DTYPE_MAP[md]
+        return (dt, dt)
     if reduced_masters:
-        return jnp.float32
+        return (jnp.float32, jnp.float32)
     return None
 
 
@@ -246,7 +263,8 @@ def _group_transform(name: str, lr: float, betas: tuple[float, float], eps: floa
     if name in _ADAMW_NAMES:
         mdt = _adam_moment_dtype(moment_dtype, reduced_masters)
         if mdt is not None:
-            parts.append(scale_by_adam_low_memory(betas[0], betas[1], eps, mdt))
+            parts.append(scale_by_adam_low_memory(betas[0], betas[1], eps,
+                                                  mdt[0], nu_dtype=mdt[1]))
         else:
             parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
         if weight_decay:
@@ -265,7 +283,8 @@ def _group_transform(name: str, lr: float, betas: tuple[float, float], eps: floa
     elif name in _ADAM_NAMES:
         mdt = _adam_moment_dtype(moment_dtype, reduced_masters)
         if mdt is not None:
-            parts.append(scale_by_adam_low_memory(betas[0], betas[1], eps, mdt))
+            parts.append(scale_by_adam_low_memory(betas[0], betas[1], eps,
+                                                  mdt[0], nu_dtype=mdt[1]))
         else:
             parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
     elif name in _LION_NAMES:
@@ -273,7 +292,7 @@ def _group_transform(name: str, lr: float, betas: tuple[float, float], eps: floa
         # optimizer HBM even at fp32); moment_dtype halves it again
         import jax.numpy as jnp
 
-        mu_dtype = (jnp.bfloat16 if str(moment_dtype) == "bf16"
+        mu_dtype = (jnp.bfloat16 if str(moment_dtype) in ("bf16", "mixed")
                     else None) if moment_dtype else None
         if mu_dtype is None and reduced_masters:
             # bf16 masters would otherwise give bf16 momentum storage+math

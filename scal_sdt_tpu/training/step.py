@@ -444,6 +444,10 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
     def _apply_update(trainable: Params, opt_state, ema, step, rng,
                       grads: Params):
         updates, opt_state = tx.update(grads, opt_state, trainable)
+        ema_dither: dict = {}
+        ema_is_bf16 = (ema_enabled and ema is not None
+                       and any(v.dtype == jnp.bfloat16
+                               for v in ema.shadow.values()))
         if any(v.dtype == jnp.bfloat16 for v in trainable.values()):
             # bf16 masters (optimizer.master_dtype: bf16): the per-step
             # update is far below the bf16 ulp, so a plain cast-add would
@@ -452,19 +456,29 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
             # master HBM and kills the fp32->bf16 compute-cast traffic.
             # Dither is the counter-hash (fused VPU compute, no draw): the
             # r4 unsafe_rbg draws cost ~27 ms/step across the SR sites.
+            # When a bf16 EMA shadow also updates this step, one u32 hash
+            # serves both SR sites: high half -> master, low half -> EMA.
             import zlib
 
-            from .ema import stochastic_round_bf16_cheap
+            from .ema import (cheap_dither_u32, stochastic_round_bf16_bits,
+                              stochastic_round_bf16_cheap)
 
             new = {}
             for k in sorted(trainable):
                 p, u = trainable[k], updates[k]
-                if p.dtype == jnp.bfloat16:
-                    new[k] = stochastic_round_bf16_cheap(
-                        p.astype(jnp.float32) + u.astype(jnp.float32),
-                        step, zlib.crc32(k.encode()) ^ 0xE3A0001)
-                else:
+                if p.dtype != jnp.bfloat16:
                     new[k] = (p + u.astype(p.dtype)).astype(p.dtype)
+                    continue
+                p32u = p.astype(jnp.float32) + u.astype(jnp.float32)
+                if ema_is_bf16 and k.startswith(UNET_PREFIX + ".") \
+                        and k in ema.shadow:
+                    h = cheap_dither_u32(p.shape, step,
+                                         zlib.crc32(k.encode()) ^ 0xE3A0001)
+                    new[k] = stochastic_round_bf16_bits(p32u, h >> 16)
+                    ema_dither[k] = (h & jnp.uint32(0xFFFF))
+                else:
+                    new[k] = stochastic_round_bf16_cheap(
+                        p32u, step, zlib.crc32(k.encode()) ^ 0xE3A0001)
             trainable = new
         else:
             trainable = jax.tree.map(
@@ -474,9 +488,10 @@ def make_train_step(spec: StepSpec, tx: optax.GradientTransformation,
         if ema_enabled and ema is not None:
             unet_trainable = {k: v for k, v in trainable.items()
                               if k.startswith(UNET_PREFIX + ".")}
-            # counter-hash dither for the bf16-shadow SR store (distinct
-            # site salt from the master-SR dither above)
-            ema = ema_update(ema, unet_trainable, step=step)
+            # counter-hash dither for the bf16-shadow SR store; keys whose
+            # master-SR already hashed this step reuse that hash's low half
+            ema = ema_update(ema, unet_trainable, step=step,
+                             dither=ema_dither or None)
 
         lr = lr_fn(step)
         new_state = TrainState(

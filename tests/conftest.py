@@ -61,6 +61,8 @@ _SLOW_TESTS = {
     "test_cache_cli_keeps_tail_entries",
     "test_e2e_packed_equals_unpacked",
     "test_e2e_stacked_tiny_matches_unpacked",
+    "test_bf16_master_training_tracks_fp32",
+    "test_bf16_master_with_bf16_ema_tracks_fp32_ema",
     "test_v_prediction_reaches_train_step_via_real_load_path",
     "test_v_target_actually_differs_from_epsilon",
     "test_sample_images_end_to_end_tiny",

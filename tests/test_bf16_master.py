@@ -109,3 +109,41 @@ def test_sr_of_zero_update_is_exact_noop():
     out = stochastic_round_bf16(p.astype(jnp.float32) + jnp.zeros_like(
         p, jnp.float32), jax.random.PRNGKey(9))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(p))
+
+
+def test_bf16_master_with_bf16_ema_tracks_fp32_ema(tmp_path):
+    """The recommended EMA config (master_dtype bf16 + ema.dtype bf16): the
+    step shares one u32 counter-hash between the master-SR (high half) and
+    the shadow-SR (low half). The resulting bf16 shadow must track the
+    shadow of an fp32-master + fp32-EMA run of the same data/seed."""
+    data = make_image_dataset(tmp_path / "data", n=4, size=(32, 32))
+
+    def fit(master_dtype, ema_dtype, out):
+        cfg = tiny_config(data, tmp_path / out, **{
+            "trainer": {"precision": "bf16", "mesh": {"data": 2, "fsdp": 4},
+                        "max_epochs": 8},
+            "optimizer": {"master_dtype": master_dtype},
+            "ema": {"enabled": True, "decay": 0.999, "dtype": ema_dtype},
+        })
+        tr = Trainer(cfg, tmp_path / out / "run", models=tiny_models(),
+                     tokenizer=HashTokenizer())
+        m = tr.fit(max_steps_override=8)
+        return tr, m
+
+    tr32, m32 = fit("fp32", "fp32", "ema32")
+    tr16, m16 = fit("bf16", "bf16", "ema16")
+
+    assert np.isfinite(m16["train_loss"])
+    assert abs(m16["train_loss"] - m32["train_loss"]) < 0.15
+
+    s32 = tr32.state.ema.shadow
+    s16 = tr16.state.ema.shadow
+    assert set(s32) == set(s16)
+    ref = np.concatenate([np.asarray(v, np.float64).ravel()
+                          for v in s32.values()])
+    got = np.concatenate([np.asarray(v, np.float64).ravel()
+                          for v in s16.values()])
+    # shadows started equal and track within bf16 SR noise of the params'
+    # own divergence scale
+    denom = max(np.abs(ref).mean(), 1e-3)
+    assert np.abs(got - ref).mean() < denom * 0.02, np.abs(got - ref).mean()

@@ -94,3 +94,30 @@ def test_ema_update_step_dither_tracks_fp32():
     err = np.abs(got - ref).mean()
     assert drift > 0.1  # the EMA actually moved
     assert err < drift * 0.05, (err, drift)
+
+
+def test_u32_halves_are_independent_streams():
+    """The bf16-master step splits one u32 hash between the master-SR (high
+    half) and EMA-SR (low half); both halves must be uniform and mutually
+    decorrelated."""
+    from scal_sdt_tpu.training.ema import cheap_dither_u32
+
+    h = np.asarray(cheap_dither_u32((1 << 15,), jnp.asarray(9), 0x5A))
+    hi = (h >> 16).astype(np.float64)
+    lo = (h & 0xFFFF).astype(np.float64)
+    for half in (hi, lo):
+        assert abs(half.mean() - 32767.5) < 32767.5 * 0.02
+    assert abs(np.corrcoef(hi, lo)[0, 1]) < 0.03
+
+
+def test_u16_adjacent_elements_decorrelated():
+    """Adjacent elements of a u16 dither stream must be uniform and
+    decorrelated (guards any future low-cost hash variants)."""
+    d = np.asarray(cheap_dither_u16((1 << 15,), jnp.asarray(3), 0x42),
+                   np.float64)
+    even, odd = d[::2], d[1::2]
+    for half in (even, odd):
+        assert abs(half.mean() - 32767.5) < 32767.5 * 0.02
+    assert abs(np.corrcoef(even, odd)[0, 1]) < 0.03
+    # odd-length shapes keep working
+    assert cheap_dither_u16((7, 3), jnp.asarray(1), 0x1).shape == (7, 3)

@@ -126,3 +126,23 @@ def test_lion_bf16_masters_momentum_is_fp32():
     mu = [leaf for path, leaf in jax.tree_util.tree_flatten_with_path(state)[0]
           if any(getattr(p, "name", None) == "mu" for p in path)]
     assert mu and all(m.dtype == jnp.float32 for m in mu)
+
+
+def test_mixed_moments_mu_bf16_nu_fp32_exact():
+    """moment_dtype: mixed — mu stored bf16, nu stored fp32 with EXACT
+    fp32 tracking (no SR noise): the headline memory mode."""
+    g_val = 2.0 ** -7
+    n = 2000
+    b2 = 0.999
+
+    p32 = {"w": jnp.full((64,), 0.5, jnp.float32)}
+    g32 = {"w": jnp.full((64,), g_val, jnp.float32)}
+    tx = _build("fp32", moment_dtype="mixed")
+    state = tx.init(p32)
+    mu0 = [l for pth, l in jax.tree_util.tree_flatten_with_path(state)[0]
+           if any(getattr(p, "name", None) == "mu" for p in pth)][0]
+    assert mu0.dtype == jnp.bfloat16
+    nu = _run_nu(tx, p32, g32, n)[0]
+    assert nu.dtype == jnp.float32
+    expected = (1.0 - b2 ** n) * g_val ** 2
+    np.testing.assert_allclose(np.asarray(nu), expected, rtol=1e-4)
